@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship LISA query on sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()``— DuckDB-equivalent ANSI SQL for every SQL-expressible
+                  query (same column names; doubles rounded identically
+                  on both sides so order-insensitive value hashes match).
+
+Conventions:
+- spatial unit tables derive from the TPC-H-ish testdata by the
+  deterministic integer-arithmetic geocoder in
+  ``esda_spark.sources.points`` (bit-identical in Spark and DuckDB);
+- kNN(k=8) weights over customer points; brute-force row_number kNN in
+  the oracle (exact same tie-breaking on (d2, neighbor));
+- conditional-permutation p-values are seeded-RNG outputs and are NOT
+  SQL-expressible -> those queries have no oracle entry (rows-only).
 """
 
 from __future__ import annotations
@@ -12,27 +21,934 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+K = 8
+ND = 6  # rounding digits for float outputs compared via value hash
+
+
+# ---------------------------------------------------------------------------
+# shared Spark-side builders
+# ---------------------------------------------------------------------------
+
+_CACHE: dict = {}
+
+
+def _points(spark: SparkSession, sf_dir: str, table: str = "customer") -> DataFrame:
+    from esda_spark.sources.points import points_from_table
+
+    key = ("points", sf_dir, table)
+    if key not in _CACHE:
+        _CACHE[key] = points_from_table(spark, sf_dir, table).cache()
+    return _CACHE[key]
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from esda_spark.operators.weights import knn_edges
+
+    key = ("edges", sf_dir)
+    if key not in _CACHE:
+        df = knn_edges(_points(spark, sf_dir), k=K, cell_size=8.0).cache()
+        df.count()
+        _CACHE[key] = df
+    return _CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _round(df: DataFrame, cols: list[str], nd: int = ND) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), nd))
+    return df
+
+
+def _scalar_df(spark: SparkSession, d: dict, cols: list[str]) -> DataFrame:
+    row = [tuple(round(float(d[c]), ND) for c in cols)]
+    return spark.createDataFrame(row, ", ".join(f"{c} double" for c in cols))
+
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+def _pts_cte(table: str = "customer") -> str:
+    from esda_spark.sources.points import points_sql
+
+    return f"pts AS ({points_sql(table)})"
+
+
+_EDGES_CTE = f"""
+edges AS (
+  SELECT f AS focal, n AS neighbor, 1.0 AS weight FROM (
+    SELECT a.id AS f, b.id AS n,
+           row_number() OVER (
+             PARTITION BY a.id
+             ORDER BY (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y), b.id
+           ) AS rk
+    FROM pts a JOIN pts b ON a.id <> b.id
+  ) WHERE rk <= {K}
+)
+"""
+
+_W_CTE = """
+w AS (
+  SELECT focal, neighbor,
+         weight / sum(weight) OVER (PARTITION BY focal) AS weight
+  FROM edges
+)
+"""
+
+# s0/s1/s2 over the row-standardized weights
+_S_CTE = """
+sym AS (
+  SELECT coalesce(a.weight, 0.0) AS wij, coalesce(b.weight, 0.0) AS wji
+  FROM w a FULL OUTER JOIN w b
+    ON a.focal = b.neighbor AND a.neighbor = b.focal
+),
+rowsums AS (SELECT focal AS node, sum(weight) AS rw FROM w GROUP BY 1),
+colsums AS (SELECT neighbor AS node, sum(weight) AS cw FROM w GROUP BY 1),
+svals AS (
+  SELECT
+    (SELECT sum(weight) FROM w) AS s0,
+    (SELECT sum((wij + wji) * (wij + wji)) / 2.0 FROM sym) AS s1,
+    (SELECT sum((coalesce(rw,0.0) + coalesce(cw,0.0)) *
+                (coalesce(rw,0.0) + coalesce(cw,0.0)))
+       FROM rowsums FULL OUTER JOIN colsums USING (node)) AS s2
+)
+"""
+
+
+def _with(*ctes: str) -> str:
+    return "WITH " + ",\n".join(c.strip().removeprefix("WITH ") for c in ctes)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LISA (local Moran + conditional permutations) over
+    geocoded customer points at sf0.001."""
+    from esda_spark.operators.local_stats import moran_local
+
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _points(spark, sf_dir)
+    edges = _edges(spark, sf_dir)
+    res = moran_local(pts, edges, "y_cont", permutations=99, seed=12345)
+    return res.select("id", "Is", "q", "p_sim")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from esda_spark.operators import global_stats as gstats
+    from esda_spark.operators import local_stats as lstats
+    from esda_spark.operators import rates as rt
+    from esda_spark.operators import similarity as sim
+    from esda_spark.operators import text as tx
+    from esda_spark.operators.spatial_join import point_in_polygon
+    from esda_spark.operators.weights import transform_weights
+    from esda_spark.sources.points import geocode_cols
+    from esda_spark.sources.polygons import grid_tiling, rotated_tiling
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def points_geocode(spark, sf):
+        return _round(_points(spark, sf), ["x", "y"], 9)
+
+    def knn_edges_q(spark, sf):
+        return _edges(spark, sf).select("focal", "neighbor")
+
+    def weights_rowstd(spark, sf):
+        return _round(
+            transform_weights(_edges(spark, sf), "R"), ["weight"], 9
+        )
+
+    def moran_global(spark, sf):
+        d = gstats.moran(_points(spark, sf), _edges(spark, sf), "y_cont", "r")
+        return _scalar_df(spark, d,
+                          ["I", "EI", "VI_norm", "VI_rand", "z_norm", "z_rand"])
+
+    def geary_global(spark, sf):
+        d = gstats.geary(_points(spark, sf), _edges(spark, sf), "y_cont", "r")
+        return _scalar_df(spark, d, ["C", "VC_norm", "VC_rand", "z_norm"])
+
+    def getis_g_global(spark, sf):
+        d = gstats.getis_g(_points(spark, sf), _edges(spark, sf), "y_cont")
+        return _scalar_df(spark, d, ["G", "EG", "VG", "z_norm"])
+
+    def gamma_c(spark, sf):
+        dc = gstats.gamma(_points(spark, sf), _edges(spark, sf), "y_cont", "c")
+        ds = gstats.gamma(_points(spark, sf), _edges(spark, sf), "y_cont", "s")
+        da = gstats.gamma(_points(spark, sf), _edges(spark, sf), "y_cont", "a")
+        return _scalar_df(
+            spark, {"g_c": dc["g"] / 1e6, "g_s": ds["g"] / 1e6, "g_a": da["g"] / 1e3},
+            ["g_c", "g_s", "g_a"],
+        )
+
+    def join_counts_global(spark, sf):
+        d = gstats.join_counts(_points(spark, sf), _edges(spark, sf), "y_bin")
+        return _scalar_df(spark, d, ["bb", "ww", "bw", "J", "chi2"])
+
+    def lee_global(spark, sf):
+        d = gstats.lee_spatial_pearson(
+            _points(spark, sf), transform_weights(_edges(spark, sf), "R"),
+            "y_cont", "e",
+        )
+        L = d["association"]
+        return _scalar_df(
+            spark,
+            {"l_xx": L[0, 0], "l_xy": L[0, 1], "l_yy": L[1, 1]},
+            ["l_xx", "l_xy", "l_yy"],
+        )
+
+    def moran_bv_global(spark, sf):
+        d = gstats.moran_bv(_points(spark, sf), _edges(spark, sf), "y_cont", "e")
+        return _scalar_df(spark, d, ["I"])
+
+    def moran_local_observed(spark, sf):
+        res = lstats.moran_local(
+            _points(spark, sf), _edges(spark, sf), "y_cont", permutations=0
+        )
+        return _round(res.select("id", "Is", "q", "EIc", "VIc"),
+                      ["Is", "EIc", "VIc"])
+
+    def g_local_observed(spark, sf):
+        res = lstats.g_local(
+            _points(spark, sf), _edges(spark, sf), "y_cont",
+            star=False, transform="B", permutations=0,
+        )
+        return _round(res.select("id", "Gs", "EGs", "Zs"), ["Gs", "EGs", "Zs"])
+
+    def geary_local_observed(spark, sf):
+        res = lstats.geary_local(
+            _points(spark, sf),
+            transform_weights(_edges(spark, sf), "R"),
+            "y_cont", permutations=0,
+        )
+        return _round(res.select("id", "localG"), ["localG"])
+
+    def ljc_observed(spark, sf):
+        res = lstats.join_counts_local(
+            _points(spark, sf), _edges(spark, sf), "y_bin", permutations=0
+        )
+        return res.select("id", F.col("LJC").cast("long").alias("ljc"))
+
+    def losh_observed(spark, sf):
+        res = lstats.losh(
+            _points(spark, sf), transform_weights(_edges(spark, sf), "R"),
+            "y_cont", inference=None,
+        )
+        return _round(res.select("id", "Hi", "VarHi"), ["Hi", "VarHi"])
+
+    def lee_local_observed(spark, sf):
+        res = lstats.lee_local(
+            _points(spark, sf), _edges(spark, sf), "y_cont", "e", permutations=0
+        )
+        return _round(res.select("id", "L"), ["L"])
+
+    def rates_all(spark, sf):
+        pts = _points(spark, sf)
+        r1 = rt.assuncao_rate(pts, out_col="assuncao").select("id", "assuncao")
+        r2 = rt.excess_risk(pts, out_col="excess").select("id", "excess")
+        r3 = rt.empirical_bayes(pts, out_col="eb").select("id", "eb")
+        out = r1.join(r2, "id").join(r3, "id")
+        return _round(out, ["assuncao", "excess", "eb"], 9)
+
+    def spatial_rates(spark, sf):
+        pts = _points(spark, sf)
+        edges = _edges(spark, sf)
+        r1 = rt.spatial_rate(pts, edges, out_col="sr").select("id", "sr")
+        r2 = rt.disk_smoother(
+            pts, transform_weights(edges, "R"), out_col="disk"
+        ).select("id", "disk")
+        return _round(r1.join(r2, "id"), ["sr", "disk"], 9)
+
+    def pip_grid(spark, sf):
+        pts = _points(spark, sf)
+        polys = grid_tiling(spark, 12, (-180.0, -90.0, 180.0, 90.0))
+        return point_in_polygon(pts, polys, 30.0)
+
+    def pip_rotated(spark, sf):
+        pts = _points(spark, sf)
+        polys = rotated_tiling(spark, 10, (-180.0, -90.0, 180.0, 90.0),
+                               theta=0.3)
+        return point_in_polygon(pts, polys, 60.0)
+
+    def events_cell_counts(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        key = F.col("event_id").cast("long")
+        x, y = geocode_cols(key)
+        cellx = F.floor((x + 180.0) / 15.0).cast("long")
+        celly = F.floor((y + 90.0) / 15.0).cast("long")
+        return (
+            ev.select(cellx.alias("cx"), celly.alias("cy"), "event_type",
+                      F.col("value"))
+            .groupBy("cx", "cy", "event_type")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+        )
+
+    def dedup_exact(spark, sf):
+        return tx.exact_dedup_groups(_docs(spark, sf))
+
+    def minhash_sigs(spark, sf):
+        return tx.minhash_signatures(_docs(spark, sf), num_hashes=8)
+
+    def lsh_pairs(spark, sf):
+        sig = tx.minhash_signatures(_docs(spark, sf), num_hashes=8)
+        return tx.lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+
+    def simhash_sigs(spark, sf):
+        return tx.simhash_signatures(_docs(spark, sf))
+
+    def lang_id_q(spark, sf):
+        return tx.lang_id(_docs(spark, sf))
+
+    def quality_q(spark, sf):
+        return tx.quality_score(_docs(spark, sf))
+
+    def token_counts_q(spark, sf):
+        return tx.token_counts(_docs(spark, sf))
+
+    def fingerprint_q(spark, sf):
+        return tx.fingerprint(_docs(spark, sf))
+
+    def ngram_jaccard_q(spark, sf):
+        docs = _docs(spark, sf)
+        sig = tx.minhash_signatures(docs, num_hashes=8)
+        pairs = tx.lsh_candidate_pairs(sig, num_hashes=8, bands=4)
+        return _round(tx.ngram_jaccard_pairs(docs, pairs), ["jaccard"], 9)
+
+    # ---- non-SQL-expressible (conditional permutation / ANN) ----
+
+    def lisa_full(spark, sf):
+        res = lstats.moran_local(
+            _points(spark, sf), _edges(spark, sf), "y_cont",
+            permutations=199, seed=12345,
+        )
+        return res.select("id", "Is", "q", "p_sim")
+
+    def g_local_star_sim(spark, sf):
+        res = lstats.g_local(
+            _points(spark, sf), _edges(spark, sf), "y_cont",
+            star=True, transform="R", permutations=199, seed=12345,
+        )
+        return res.select("id", "Gs", "Zs", "p_sim")
+
+    def ljc_sim(spark, sf):
+        return lstats.join_counts_local(
+            _points(spark, sf), _edges(spark, sf), "y_bin",
+            permutations=199, seed=12345,
+        )
+
+    def moran_global_perm(spark, sf):
+        d = gstats.moran(
+            _points(spark, sf), _edges(spark, sf), "y_cont", "r",
+            permutations=199, seed=12345,
+        )
+        return _scalar_df(spark, d, ["I", "p_sim"])
+
+    def ann_topk(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.cosine_topk(emb, q, k=10).select(
+            "query_id", "vec_id", "rank"
+        )
+
+    def ann_lsh_topk(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.lsh_topk(emb, q, dim=64, k=10, num_planes=8).select(
+            "query_id", "vec_id", "rank"
+        )
+
+    def spatial_eb_rate(spark, sf):
+        return _round(
+            rt.spatial_empirical_bayes(
+                _points(spark, sf), _edges(spark, sf), out_col="seb"
+            ).select("id", "seb"),
+            ["seb"], 9,
+        )
+
+    def spatial_median_rate_q(spark, sf):
+        return _round(
+            rt.spatial_median_rate(
+                _points(spark, sf), _edges(spark, sf), out_col="smr"
+            ).select("id", "smr"),
+            ["smr"], 9,
+        )
+
+    return {
+        "points_geocode": points_geocode,
+        "knn_edges": knn_edges_q,
+        "weights_rowstd": weights_rowstd,
+        "moran_global": moran_global,
+        "geary_global": geary_global,
+        "getis_g_global": getis_g_global,
+        "gamma_ops": gamma_c,
+        "join_counts_global": join_counts_global,
+        "lee_global": lee_global,
+        "moran_bv_global": moran_bv_global,
+        "moran_local_observed": moran_local_observed,
+        "g_local_observed": g_local_observed,
+        "geary_local_observed": geary_local_observed,
+        "ljc_observed": ljc_observed,
+        "losh_observed": losh_observed,
+        "lee_local_observed": lee_local_observed,
+        "rates_all": rates_all,
+        "spatial_rates": spatial_rates,
+        "pip_grid": pip_grid,
+        "pip_rotated": pip_rotated,
+        "events_cell_counts": events_cell_counts,
+        "dedup_exact": dedup_exact,
+        "minhash_signatures": minhash_sigs,
+        "lsh_pairs": lsh_pairs,
+        "simhash": simhash_sigs,
+        "lang_id": lang_id_q,
+        "quality_score": quality_q,
+        "token_counts": token_counts_q,
+        "fingerprint": fingerprint_q,
+        "ngram_jaccard": ngram_jaccard_q,
+        # non-oracle (seeded permutation / ANN) — rows-only checks
+        "lisa_full": lisa_full,
+        "g_local_star_sim": g_local_star_sim,
+        "ljc_sim": ljc_sim,
+        "moran_global_perm": moran_global_perm,
+        "ann_topk": ann_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "spatial_eb_rate": spatial_eb_rate,
+        "spatial_median_rate": spatial_median_rate_q,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from esda_spark.operators.text import h60_sql, tokens_sql
+    from esda_spark.sources.polygons import (
+        rotated_assignment_params,
+        rotated_assignment_sql,
+    )
+    from esda_spark.sources.points import points_sql
+
+    P = _pts_cte()
+    E = _EDGES_CTE
+    W = _W_CTE
+    S = _S_CTE
+
+    sql: dict[str, str] = {}
+
+    sql["points_geocode"] = (
+        f"WITH {P} SELECT id, round(x, 9) AS x, round(y, 9) AS y, "
+        "y_cont, y_bin, e, b FROM pts"
+    )
+
+    sql["knn_edges"] = _with(P, E) + "\nSELECT focal, neighbor FROM edges"
+
+    sql["weights_rowstd"] = (
+        _with(P, E, W) + "\nSELECT focal, neighbor, round(weight, 9) AS weight FROM w"
+    )
+
+    sql["moran_global"] = _with(P, E, W, S) + f"""
+, zt AS (SELECT id, y_cont - (SELECT avg(y_cont) FROM pts) AS z FROM pts)
+, lagt AS (
+    SELECT w.focal AS id, sum(w.weight * z2.z) AS lag
+    FROM w JOIN zt z2 ON z2.id = w.neighbor GROUP BY 1
+)
+, scalars AS (
+    SELECT (SELECT count(*) FROM pts) AS n,
+           (SELECT sum(z*z) FROM zt) AS z2ss,
+           (SELECT sum(z*z*z*z) FROM zt) AS z4ss,
+           (SELECT sum(zt.z * lagt.lag) FROM zt JOIN lagt USING (id)) AS inum,
+           s0, s1, s2
+    FROM svals
+)
+SELECT
+  round(n / s0 * inum / z2ss, {ND}) AS I,
+  round(-1.0 / (n - 1), {ND}) AS EI,
+  round((n*n*s1 - n*s2 + 3*s0*s0) / ((n-1)*(n+1)*s0*s0)
+        - 1.0/((n-1)*(n-1)), {ND}) AS VI_norm,
+  round((n*((n*n - 3*n + 3)*s1 - n*s2 + 3*s0*s0)
+         - ((z4ss/n)/((z2ss/n)*(z2ss/n)))
+           * ((n*n - n)*s1 - 2*n*s2 + 6*s0*s0))
+        / ((n-1)*(n-2)*(n-3)*s0*s0) - 1.0/((n-1)*(n-1)), {ND}) AS VI_rand,
+  round((n / s0 * inum / z2ss + 1.0/(n-1))
+        / sqrt((n*n*s1 - n*s2 + 3*s0*s0) / ((n-1)*(n+1)*s0*s0)
+               - 1.0/((n-1)*(n-1))), {ND}) AS z_norm,
+  round((n / s0 * inum / z2ss + 1.0/(n-1))
+        / sqrt((n*((n*n - 3*n + 3)*s1 - n*s2 + 3*s0*s0)
+                - ((z4ss/n)/((z2ss/n)*(z2ss/n)))
+                  * ((n*n - n)*s1 - 2*n*s2 + 6*s0*s0))
+               / ((n-1)*(n-2)*(n-3)*s0*s0) - 1.0/((n-1)*(n-1))), {ND}) AS z_rand
+FROM scalars
+"""
+
+    sql["geary_global"] = _with(P, E, W, S) + f"""
+, scalars AS (
+  SELECT (SELECT count(*) FROM pts) AS n,
+         (SELECT sum((y_cont - m.mu)*(y_cont - m.mu))
+            FROM pts, (SELECT avg(y_cont) mu FROM pts) m) AS yss,
+         (SELECT sum((y_cont - m.mu)^4)
+            FROM pts, (SELECT avg(y_cont) mu FROM pts) m) AS y4ss,
+         (SELECT sum(w.weight * (pf.y_cont - pn.y_cont) * (pf.y_cont - pn.y_cont))
+            FROM w JOIN pts pf ON pf.id = w.focal
+                  JOIN pts pn ON pn.id = w.neighbor) AS num,
+         s0, s1, s2
+  FROM svals
+)
+SELECT
+  round((n - 1) * num / (yss * s0 * 2.0), {ND}) AS C,
+  round((1.0/(2*(n+1)*s0*s0)) * ((2*s1 + s2)*(n-1) - 4*s0*s0), {ND}) AS VC_norm,
+  round(((n-1)*s1*(n*n - 3*n + 3 - (n-1)*((y4ss/n)/((yss/n)*(yss/n))))
+         - 0.25*((n-1)*s2*(n*n + 3*n - 6 - (n*n - n + 2)*((y4ss/n)/((yss/n)*(yss/n)))))
+         + s0*s0*(n*n - 3 - (n-1)*(n-1)*((y4ss/n)/((yss/n)*(yss/n)))))
+        / (n*(n-2)*(n-3)*s0*s0), {ND}) AS VC_rand,
+  round(((n - 1) * num / (yss * s0 * 2.0) - 1.0)
+        / sqrt((1.0/(2*(n+1)*s0*s0)) * ((2*s1 + s2)*(n-1) - 4*s0*s0)), {ND}) AS z_norm
+FROM scalars
+"""
+
+    # binary weights for G: svals over edges (weight 1.0)
+    s_binary = S.replace("FROM w", "FROM edges").replace("w a", "edges a").replace(
+        "w b", "edges b"
+    )
+    sql["getis_g_global"] = _with(P, E, s_binary) + f"""
+, scalars AS (
+  SELECT (SELECT count(*) FROM pts) AS n,
+         (SELECT sum(y_cont) FROM pts) AS sy,
+         (SELECT sum(y_cont*y_cont) FROM pts) AS sy2,
+         (SELECT sum(y_cont*y_cont*y_cont) FROM pts) AS sy3,
+         (SELECT sum(y_cont*y_cont*y_cont*y_cont) FROM pts) AS sy4,
+         (SELECT sum(pf.y_cont * pn.y_cont)
+            FROM edges JOIN pts pf ON pf.id = edges.focal
+                      JOIN pts pn ON pn.id = edges.neighbor) AS num,
+         s0, s1, s2
+  FROM svals
+)
+SELECT
+  round(num / (sy*sy - sy2), {ND}) AS G,
+  round(s0 / (n * (n - 1)), {ND}) AS EG,
+  round((((n*n - 3*n + 3)*s1 - n*s2 + 3*s0*s0) * sy2*sy2
+         - ((n*n - n)*s1 - 2*n*s2 + 6*s0*s0) * sy4
+         - (2*n*s1 - (n+3)*s2 + 6*s0*s0) * sy*sy*sy2
+         + (4*(n-1)*s1 - 2*(n+1)*s2 + 8*s0*s0) * sy*sy3
+         + (s1 - s2 + s0*s0) * sy*sy*sy*sy)
+        / ((sy*sy - sy2)*(sy*sy - sy2)*n*(n-1)*(n-2)*(n-3))
+        - (s0/(n*(n-1)))*(s0/(n*(n-1))), {ND}) AS VG,
+  round((num / (sy*sy - sy2) - s0/(n*(n-1)))
+        / sqrt((((n*n - 3*n + 3)*s1 - n*s2 + 3*s0*s0) * sy2*sy2
+                - ((n*n - n)*s1 - 2*n*s2 + 6*s0*s0) * sy4
+                - (2*n*s1 - (n+3)*s2 + 6*s0*s0) * sy*sy*sy2
+                + (4*(n-1)*s1 - 2*(n+1)*s2 + 8*s0*s0) * sy*sy3
+                + (s1 - s2 + s0*s0) * sy*sy*sy*sy)
+               / ((sy*sy - sy2)*(sy*sy - sy2)*n*(n-1)*(n-2)*(n-3))
+               - (s0/(n*(n-1)))*(s0/(n*(n-1)))), {ND}) AS z_norm
+FROM scalars
+"""
+
+    sql["gamma_ops"] = _with(P, E) + f"""
+, j AS (
+  SELECT e.weight, pf.y_cont AS yf, pn.y_cont AS yn
+  FROM edges e JOIN pts pf ON pf.id = e.focal
+              JOIN pts pn ON pn.id = e.neighbor
+)
+SELECT
+  round(sum(weight * yf * yn) / 1e6, {ND}) AS g_c,
+  round(sum(weight * (yf - yn) * (yf - yn)) / 1e6, {ND}) AS g_s,
+  round(sum(weight * abs(yf - yn)) / 1e3, {ND}) AS g_a
+FROM j
+"""
+
+    sql["join_counts_global"] = _with(P, E) + f"""
+, j AS (
+  SELECT pf.y_bin AS yf, pn.y_bin AS yn
+  FROM edges e JOIN pts pf ON pf.id = e.focal
+              JOIN pts pn ON pn.id = e.neighbor
+)
+, counts AS (
+  SELECT sum(CASE WHEN yf = 1 AND yn = 1 THEN 1.0 ELSE 0 END)/2 AS bb,
+         sum(CASE WHEN yf = 0 AND yn = 0 THEN 1.0 ELSE 0 END)/2 AS ww,
+         sum(CASE WHEN yf = 1 AND yn = 0 THEN 1.0 ELSE 0 END)/2 AS bwh,
+         sum(CASE WHEN yf = 0 AND yn = 1 THEN 1.0 ELSE 0 END)/2 AS wbh,
+         count(*)/2.0 AS J
+  FROM j
+)
+, chi AS (
+  SELECT *,
+    ww + wbh AS r0, bwh + bb AS r1, ww + bwh AS c0, wbh + bb AS c1,
+    ww + wbh + bwh + bb AS tot
+  FROM counts
+)
+SELECT round(bb, {ND}) AS bb, round(ww, {ND}) AS ww,
+       round(bwh + wbh, {ND}) AS bw, round(J, {ND}) AS J,
+       round(
+         power(greatest(abs(ww  - r0*c0/tot) - 0.5, 0), 2)/(r0*c0/tot)
+       + power(greatest(abs(wbh - r0*c1/tot) - 0.5, 0), 2)/(r0*c1/tot)
+       + power(greatest(abs(bwh - r1*c0/tot) - 0.5, 0), 2)/(r1*c0/tot)
+       + power(greatest(abs(bb  - r1*c1/tot) - 0.5, 0), 2)/(r1*c1/tot),
+       {ND}) AS chi2
+FROM chi
+"""
+
+    sql["lee_global"] = _with(P, E, W) + f"""
+, zt AS (
+  SELECT id,
+    (y_cont - (SELECT avg(y_cont) FROM pts))
+      / (SELECT stddev_pop(y_cont) FROM pts) AS zx,
+    (e - (SELECT avg(e) FROM pts)) / (SELECT stddev_pop(e) FROM pts) AS zy
+  FROM pts
+)
+, lags AS (
+  SELECT w.focal, sum(w.weight * z.zx) AS lx, sum(w.weight * z.zy) AS ly,
+         sum(w.weight) AS l1
+  FROM w JOIN zt z ON z.id = w.neighbor GROUP BY 1
+)
+SELECT round(sum(lx*lx) / sum(l1*l1), {ND}) AS l_xx,
+       round(sum(lx*ly) / sum(l1*l1), {ND}) AS l_xy,
+       round(sum(ly*ly) / sum(l1*l1), {ND}) AS l_yy
+FROM lags
+"""
+
+    sql["moran_bv_global"] = _with(P, E, W) + f"""
+, zt AS (
+  SELECT id,
+    (y_cont - (SELECT avg(y_cont) FROM pts))
+      / (SELECT stddev_samp(y_cont) FROM pts) AS zx,
+    (e - (SELECT avg(e) FROM pts)) / (SELECT stddev_samp(e) FROM pts) AS zy
+  FROM pts
+)
+, lagt AS (
+  SELECT w.focal AS id, sum(w.weight * z.zy) AS lag
+  FROM w JOIN zt z ON z.id = w.neighbor GROUP BY 1
+)
+SELECT round(sum(zt.zx * lagt.lag) / ((SELECT count(*) FROM pts) - 1), {ND}) AS I
+FROM zt JOIN lagt USING (id)
+"""
+
+    sql["moran_local_observed"] = _with(P, E, W) + f"""
+, ms AS (SELECT avg(y_cont) AS mu, stddev_pop(y_cont) AS sd,
+                count(*) AS n FROM pts)
+, zt AS (SELECT id, (y_cont - ms.mu)/ms.sd AS z FROM pts, ms)
+, dent AS (SELECT sum(z*z) AS den FROM zt)
+, lagt AS (
+  SELECT w.focal AS id, sum(w.weight * z2.z) AS lag,
+         sum(w.weight) AS wi, sum(w.weight*w.weight) AS wi2
+  FROM w JOIN zt z2 ON z2.id = w.neighbor GROUP BY 1
+)
+SELECT zt.id,
+  round((ms.n - 1) * zt.z * coalesce(lagt.lag, 0.0) / dent.den, {ND}) AS Is,
+  CASE WHEN zt.z > 0 AND coalesce(lagt.lag,0.0) > 0 THEN 1
+       WHEN zt.z <= 0 AND coalesce(lagt.lag,0.0) > 0 THEN 2
+       WHEN zt.z <= 0 AND coalesce(lagt.lag,0.0) <= 0 THEN 3
+       ELSE 4 END AS q,
+  round(-(zt.z*zt.z*coalesce(lagt.wi,0.0)) / ((ms.n-1) * (dent.den/ms.n)),
+        {ND}) AS EIc,
+  round((zt.z/(dent.den/ms.n))*(zt.z/(dent.den/ms.n)) * (ms.n/(ms.n-2.0))
+        * (coalesce(lagt.wi2,0.0) - coalesce(lagt.wi,0.0)*coalesce(lagt.wi,0.0)/(ms.n-1.0))
+        * ((dent.den/ms.n) - zt.z*zt.z/(ms.n-1.0)), {ND}) AS VIc
+FROM zt CROSS JOIN ms CROSS JOIN dent LEFT JOIN lagt ON lagt.id = zt.id
+"""
+
+    sql["g_local_observed"] = _with(P, E) + f"""
+, ms AS (SELECT count(*) AS n, sum(y_cont) AS sy,
+                sum(y_cont*y_cont) AS sy2 FROM pts)
+, lagt AS (
+  SELECT e.focal AS id, sum(pn.y_cont) AS lag, count(*) AS wi
+  FROM edges e JOIN pts pn ON pn.id = e.neighbor GROUP BY 1
+)
+SELECT p.id,
+  round(coalesce(l.lag, 0.0) / (ms.sy - p.y_cont), {ND}) AS Gs,
+  round(coalesce(l.wi, 0) / (ms.n - 1.0), {ND}) AS EGs,
+  round((coalesce(l.lag, 0.0) / (ms.sy - p.y_cont)
+         - coalesce(l.wi, 0) / (ms.n - 1.0))
+        / sqrt(coalesce(l.wi,0) * ((ms.n-1.0) - coalesce(l.wi,0)) / (ms.n - 2.0)
+               / ((ms.n-1.0)*(ms.n-1.0))
+               * ((((ms.sy2 - p.y_cont*p.y_cont)/(ms.n-1.0))
+                   - ((ms.sy - p.y_cont)/(ms.n-1.0))*((ms.sy - p.y_cont)/(ms.n-1.0)))
+                  / (((ms.sy - p.y_cont)/(ms.n-1.0))*((ms.sy - p.y_cont)/(ms.n-1.0))))),
+        {ND}) AS Zs
+FROM pts p CROSS JOIN ms LEFT JOIN lagt l ON l.id = p.id
+"""
+
+    sql["geary_local_observed"] = _with(P, E, W) + f"""
+, ms AS (SELECT avg(y_cont) AS mu, stddev_pop(y_cont) AS sd FROM pts)
+, zt AS (SELECT id, (y_cont - ms.mu)/ms.sd AS z FROM pts, ms)
+, g AS (
+  SELECT w.focal AS id,
+         sum(w.weight * (zf.z - zn.z) * (zf.z - zn.z)) AS localG
+  FROM w JOIN zt zf ON zf.id = w.focal JOIN zt zn ON zn.id = w.neighbor
+  GROUP BY 1
+)
+SELECT p.id, round(coalesce(g.localG, 0.0), {ND}) AS localG
+FROM pts p LEFT JOIN g ON g.id = p.id
+"""
+
+    sql["ljc_observed"] = _with(P, E) + """
+SELECT p.id, coalesce(l.ljc, 0) AS ljc
+FROM pts p LEFT JOIN (
+  SELECT e.focal AS id,
+         CAST(sum(CASE WHEN pf.y_bin = 1 AND pn.y_bin = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS ljc
+  FROM edges e JOIN pts pf ON pf.id = e.focal
+              JOIN pts pn ON pn.id = e.neighbor
+  GROUP BY 1
+) l ON l.id = p.id
+"""
+
+    sql["losh_observed"] = _with(P, E, W) + f"""
+, rs AS (SELECT focal AS id, sum(weight) AS rowsum,
+                sum(weight*weight) AS sq_rowsum FROM w GROUP BY 1)
+, lag1 AS (SELECT w.focal AS id, sum(w.weight * p.y_cont) AS wy
+           FROM w JOIN pts p ON p.id = w.neighbor GROUP BY 1)
+, resid AS (
+  SELECT p.id,
+         power(abs(p.y_cont - lag1.wy / rs.rowsum), 2.0) AS yresid
+  FROM pts p JOIN lag1 ON lag1.id = p.id JOIN rs ON rs.id = p.id
+)
+, rstat AS (SELECT avg(yresid) AS rmean, sum(yresid*yresid) AS r2sum,
+                   count(*) AS n FROM resid)
+, lag2 AS (SELECT w.focal AS id, sum(w.weight * r.yresid) AS wres
+           FROM w JOIN resid r ON r.id = w.neighbor GROUP BY 1)
+SELECT r.id,
+  round(lag2.wres / (rstat.rmean * rs.rowsum), {ND}) AS Hi,
+  round((1.0/(rstat.n - 1)) * power(rstat.rmean * rs.rowsum, -2.0)
+        * (rstat.r2sum/rstat.n - rstat.rmean*rstat.rmean)
+        * (rstat.n * rs.sq_rowsum - rs.rowsum*rs.rowsum), {ND}) AS VarHi
+FROM resid r JOIN rs ON rs.id = r.id JOIN lag2 ON lag2.id = r.id, rstat
+"""
+
+    sql["lee_local_observed"] = _with(P, E, W) + f"""
+, zt AS (
+  SELECT id,
+    (y_cont - (SELECT avg(y_cont) FROM pts))
+      / (SELECT stddev_pop(y_cont) FROM pts) AS zx,
+    (e - (SELECT avg(e) FROM pts)) / (SELECT stddev_pop(e) FROM pts) AS zy
+  FROM pts
+)
+, lags AS (
+  SELECT w.focal AS id, sum(w.weight * z.zx) AS lx, sum(w.weight * z.zy) AS ly
+  FROM w JOIN zt z ON z.id = w.neighbor GROUP BY 1
+)
+SELECT p.id, round(coalesce(l.lx, 0.0) * coalesce(l.ly, 0.0), {ND}) AS L
+FROM pts p LEFT JOIN lags l ON l.id = p.id
+"""
+
+    sql["rates_all"] = f"WITH {P}" + """
+, g AS (SELECT sum(e) AS es, sum(b) AS bs, avg(b) AS bm,
+               count(*) AS n FROM pts)
+, s2t AS (
+  SELECT sum(p.b * (p.e/p.b - g.es/g.bs) * (p.e/p.b - g.es/g.bs))
+         / max(g.bs) AS s2
+  FROM pts p CROSS JOIN g
+)
+SELECT p.id,
+  round((p.e/p.b - g.es/g.bs)
+        / sqrt(CASE WHEN s2t.s2 - (g.es/g.bs)/(g.bs/g.n) + (g.es/g.bs)/p.b < 0
+               THEN (g.es/g.bs)/p.b
+               ELSE s2t.s2 - (g.es/g.bs)/(g.bs/g.n) + (g.es/g.bs)/p.b END),
+        9) AS assuncao,
+  round(p.e / (p.b * (g.es/g.bs)), 9) AS excess,
+  round((s2t.s2 - (g.es/g.bs)/g.bm)
+        / ((s2t.s2 - (g.es/g.bs)/g.bm) + (g.es/g.bs)/p.b) * (p.e/p.b)
+        + (1.0 - (s2t.s2 - (g.es/g.bs)/g.bm)
+           / ((s2t.s2 - (g.es/g.bs)/g.bm) + (g.es/g.bs)/p.b))
+          * (g.es/g.bs), 9) AS eb
+FROM pts p, g, s2t
+"""
+
+    sql["spatial_rates"] = _with(P, E, W) + """
+, le AS (SELECT e2.focal AS id, sum(p.e) AS we, sum(p.b) AS wb
+         FROM edges e2 JOIN pts p ON p.id = e2.neighbor GROUP BY 1)
+, dk AS (
+  SELECT w.focal AS id, sum(w.weight * (p.e/p.b)) AS num, sum(w.weight) AS den
+  FROM w JOIN pts p ON p.id = w.neighbor GROUP BY 1
+)
+SELECT p.id,
+  round((p.e + coalesce(le.we, 0.0)) / (p.b + coalesce(le.wb, 0.0)), 9) AS sr,
+  round(dk.num / dk.den, 9) AS disk
+FROM pts p LEFT JOIN le ON le.id = p.id LEFT JOIN dk ON dk.id = p.id
+"""
+
+    sql["pip_grid"] = f"WITH {P}" + """
+SELECT id,
+  CAST(floor((y + 90.0) / 15.0) AS BIGINT) * 12
+  + CAST(floor((x + 180.0) / 30.0) AS BIGINT) AS poly_id
+FROM pts
+"""
+
+    rp = rotated_assignment_params(10, (-180.0, -90.0, 180.0, 90.0), theta=0.3)
+    sql["pip_rotated"] = f"WITH {P}" + f"""
+SELECT id, {rotated_assignment_sql('x', 'y', rp)} AS poly_id
+FROM pts
+"""
+
+    ev_pts = points_sql("events").replace(
+        "AS y_cont,", "AS y_cont,"
+    )
+    sql["events_cell_counts"] = f"""
+WITH ep AS ({points_sql('events')})
+SELECT CAST(floor((ep.x + 180.0) / 15.0) AS BIGINT) AS cx,
+       CAST(floor((ep.y + 90.0) / 15.0) AS BIGINT) AS cy,
+       ev.event_type,
+       count(*) AS cnt,
+       round(sum(ev.value), 4) AS value_sum
+FROM ep JOIN events ev ON ev.event_id = ep.id
+GROUP BY 1, 2, 3
+"""
+
+    sql["dedup_exact"] = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper,
+       count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+    toks = tokens_sql("text")
+    shingles = (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - 2, 0) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + 2), ' ')))"
+    )
+    minhash_cols = ",\n  ".join(
+        "min({h}) AS h{i}".format(h=h60_sql("sh || '#%d'" % i), i=i)
+        for i in range(8)
+    )
+    sql["minhash_signatures"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles}) AS sh FROM documents
+)
+SELECT doc_id, {minhash_cols}
+FROM sh GROUP BY doc_id
+"""
+
+    sql["lsh_pairs"] = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({shingles}) AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, {minhash_cols} FROM sh GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id,
+    h0 || ',' || h1 AS band0, h2 || ',' || h3 AS band1,
+    h4 || ',' || h5 AS band2, h6 || ',' || h7 AS band3
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM keyed a JOIN keyed b
+  ON (a.band0 = b.band0 OR a.band1 = b.band1
+      OR a.band2 = b.band2 OR a.band3 = b.band3)
+WHERE a.doc_id < b.doc_id
+"""
+
+    sql["ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({shingles}) AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, {minhash_cols}
+  FROM (SELECT doc_id, unnest({shingles}) AS sh FROM documents) s
+  GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id,
+    h0 || ',' || h1 AS band0, h2 || ',' || h3 AS band1,
+    h4 || ',' || h5 AS band2, h6 || ',' || h7 AS band3
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b
+    ON (a.band0 = b.band0 OR a.band1 = b.band1
+        OR a.band2 = b.band2 OR a.band3 = b.band3)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS i
+  FROM pairs p JOIN sh a ON a.doc_id = p.doc_a
+              JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT i2.doc_a, i2.doc_b,
+       round(CAST(i2.i AS DOUBLE) / (sa.sz + sb.sz - i2.i), 9) AS jaccard
+FROM inter i2 JOIN sizes sa ON sa.doc_id = i2.doc_a
+             JOIN sizes sb ON sb.doc_id = i2.doc_b
+"""
+
+    sql["simhash"] = f"""
+WITH tk AS (
+  SELECT doc_id, {h60_sql('unnest(' + toks + ')')} AS th FROM documents
+),
+votes AS (
+  SELECT doc_id, b,
+         sum((th // CAST(power(2, b) AS BIGINT)) % 2 * 2 - 1) AS s
+  FROM tk, (SELECT unnest(range(0, 60)) AS b)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)
+         AS simhash
+FROM votes GROUP BY 1
+"""
+
+    from esda_spark.operators.text import LANG_MARKERS
+
+    lang_scores = []
+    for lang, words in LANG_MARKERS.items():
+        pat = "\\b(" + "|".join(words) + ")\\b"
+        lang_scores.append(
+            f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in LANG_MARKERS) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in sorted(LANG_MARKERS)
+    ) + " END"
+    sql["lang_id"] = f"""
+WITH scored AS (
+  SELECT doc_id, {', '.join(lang_scores)} FROM documents
+)
+SELECT doc_id, {pred} AS pred_lang, s_en, s_de, s_fr, s_es
+FROM scored
+"""
+
+    sql["quality_score"] = f"""
+SELECT doc_id,
+  len({toks}) AS n_tokens,
+  round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1), 9) AS alpha_ratio,
+  round(CAST(len(regexp_extract_all(lower(text),
+        '\\b(the|and|of|to|in|a|is|that)\\b')) AS DOUBLE)
+        / greatest(len({toks}), 1), 9) AS stop_ratio,
+  round(
+    (CASE WHEN len({toks}) BETWEEN 20 AND 100000 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+             AS DOUBLE) / greatest(length(text), 1) >= 0.6
+       THEN 0.3 ELSE 0.0 END)
+    + (CASE WHEN CAST(len(regexp_extract_all(lower(text),
+             '\\b(the|and|of|to|in|a|is|that)\\b')) AS DOUBLE)
+             / greatest(len({toks}), 1) BETWEEN 0.05 AND 0.5
+       THEN 0.3 ELSE 0.0 END), 9) AS quality
+FROM documents
+"""
+
+    sql["token_counts"] = f"""
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+    AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))
+    AS word_tokens,
+  length(text) AS n_chars
+FROM documents
+"""
+
+    sql["fingerprint"] = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform({toks}, s -> {h60_sql('s')} % 1073741824)),
+    (acc, x) -> (acc * 31 + x) % 1073741824
+  ) AS fp
+FROM documents
+"""
+
+    return sql

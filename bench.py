@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Headline benchmark harness.
+
+Runs the engine's flagship queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+       "queries": {name: sec, ...}, "sf": ...}.
+
+Extra modes:
+  --scaling   run the LISA job at local[8] and local[32] in fresh
+              subprocesses and report throughput at both plus the
+              N->4N scaling efficiency (the north rule's two-cluster-
+              size criterion, evidenced via two parallelism levels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PERMS = int(os.environ.get("SPARK_GRAFT_BENCH_PERMS", "999"))
+
+
+def _sf_label(path: str) -> float:
+    try:
+        return float(path.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return -1.0
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from esda_spark.operators.global_stats import geary, getis_g, moran
+    from esda_spark.operators.local_stats import g_local, moran_local
+    from esda_spark.operators.similarity import cosine_topk
+    from esda_spark.operators.spatial_join import point_in_polygon
+    from esda_spark.operators.text import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_signatures,
+    )
+    from esda_spark.operators.weights import knn_edges
+    from esda_spark.sources.points import points_from_table
+    from esda_spark.sources.polygons import rotated_tiling
+
+    times: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- spatial stats over customer points (n = 15k at sf0.1) ---
+    pts = points_from_table(spark, sf_dir, "customer").cache()
+    n_pts = pts.count()
+    edges = timed("knn_build_customer",
+                  lambda: knn_edges(pts, k=8, cell_size=8.0).cache())
+    edges.count()
+
+    timed("moran_global", lambda: moran(pts, edges, "y_cont", "r"))
+    timed("geary_global", lambda: geary(pts, edges, "y_cont", "r"))
+    timed("getis_g_global", lambda: getis_g(pts, edges, "y_cont"))
+    timed(
+        "lisa_crand",
+        lambda: moran_local(
+            pts, edges, "y_cont", permutations=PERMS, seed=12345
+        ).select(F.sum("p_sim")).collect(),
+    )
+    timed(
+        "g_local_crand",
+        lambda: g_local(
+            pts, edges, "y_cont", star=True, transform="R",
+            permutations=PERMS, seed=12345,
+        ).select(F.sum("p_sim")).collect(),
+    )
+
+    # --- spatial join over orders points (n = 150k at sf0.1) ---
+    big = points_from_table(spark, sf_dir, "orders").cache()
+    n_big = big.count()
+    polys = rotated_tiling(spark, 24, (-180.0, -90.0, 180.0, 90.0), theta=0.3)
+    pip = timed(
+        "pip_join_orders",
+        lambda: point_in_polygon(big, polys, 25.0).count(),
+    )
+    timed("knn_build_orders", lambda: knn_edges(big, k=8, cell_size=2.0).count())
+
+    # --- text ops over documents ---
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    n_docs = docs.count()
+    sigs = timed(
+        "minhash_sigs",
+        lambda: minhash_signatures(docs, num_hashes=16).cache(),
+    )
+    sigs.count()
+    timed("lsh_pairs", lambda: lsh_candidate_pairs(sigs, 16, 4).count())
+    timed("simhash", lambda: simhash_signatures(docs).count())
+
+    # --- ANN over embeddings ---
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    q = emb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("ann_cosine_topk", lambda: cosine_topk(emb, q, k=10).count())
+
+    times["_n_points"] = n_pts
+    times["_n_orders"] = n_big
+    times["_n_docs"] = n_docs
+    times["_pip_rows"] = pip
+    return times
+
+
+def lisa_throughput(cpus: int, sf_dir: str, perms: int) -> dict:
+    """Run flagship LISA in THIS process at a given parallelism; returns
+    docs/sec.  Used by the --scaling subprocess mode."""
+    from esda_spark.operators.local_stats import moran_local
+    from esda_spark.operators.weights import knn_edges
+    from esda_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(f"bench-scaling-{cpus}", parallelism=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    pts = __import__(
+        "esda_spark.sources.points", fromlist=["points_from_table"]
+    ).points_from_table(spark, sf_dir, "customer").cache()
+    n = pts.count()
+    edges = knn_edges(pts, k=8, cell_size=8.0).cache()
+    edges.count()
+    # warm-up (JIT, code cache) then timed run
+    moran_local(pts, edges, "y_cont", permutations=50, seed=1).select(
+        F.sum("p_sim")
+    ).collect()
+    t0 = time.perf_counter()
+    moran_local(pts, edges, "y_cont", permutations=perms, seed=12345).select(
+        F.sum("p_sim")
+    ).collect()
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return {"cpus": cpus, "sec": round(dt, 3), "n": n,
+            "docs_per_sec": round(n / dt, 1),
+            "site_perms_per_sec": round(n * perms / dt, 0)}
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        if "--scaling-child" in sys.argv:
+            cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+            print(json.dumps(lisa_throughput(cpus, SF_DIR, PERMS)))
+            return
+        results = {}
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling", "--scaling-child",
+                 "--cpus", str(cpus)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        t8 = results[8]["docs_per_sec"]
+        t32 = results[32]["docs_per_sec"]
+        eff = t32 / (4.0 * t8)
+        print(json.dumps({
+            "metric": "LISA throughput scaling N=8 -> 4N=32 cores",
+            "throughput_8": t8, "throughput_32": t32,
+            "sec_8": results[8]["sec"], "sec_32": results[32]["sec"],
+            "scaling_efficiency": round(eff, 3),
+            "sf": _sf_label(SF_DIR), "permutations": PERMS,
+        }))
+        return
+
+    from esda_spark.session import get_spark
+
+    spark = get_spark("bench", parallelism=CPUS)
+    t0 = time.perf_counter()
+    times = run_queries(spark, SF_DIR)
+    total = round(time.perf_counter() - t0, 3)
+    n_pts = times.pop("_n_points")
+    times.pop("_n_orders")
+    times.pop("_n_docs")
+    times.pop("_pip_rows")
+    print(json.dumps({
+        "metric": "esda_spark headline suite (LISA+global stats, spatial "
+                  "joins, dedup, ANN)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_label(SF_DIR),
+        "lisa_docs_per_sec": round(n_pts / times["lisa_crand"], 1),
+        "permutations": PERMS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

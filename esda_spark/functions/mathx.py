@@ -1,0 +1,89 @@
+"""Scalar/ vectorized math kernels (no scipy in the runtime image).
+
+- ``norm_sf`` / ``norm_cdf``: exact via ``math.erfc`` (double precision,
+  matches ``scipy.stats.norm.sf`` to full precision).
+- ``chi2_sf``: regularized upper incomplete gamma Q(k/2, x/2) via the
+  standard series / continued-fraction evaluation (Abramowitz & Stegun
+  6.5; double precision to ~1e-14).
+
+These run driver-side for global statistics (a handful of scalars) and
+inside Arrow-batched pandas kernels for per-row p-values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+_erfc = np.vectorize(math.erfc, otypes=[np.float64])
+_SQRT2 = math.sqrt(2.0)
+
+
+def norm_sf(z):
+    """P(Z > z) for standard normal; scalar or ndarray."""
+    return 0.5 * _erfc(np.asarray(z, dtype=np.float64) / _SQRT2)
+
+
+def norm_cdf(z):
+    return 0.5 * _erfc(-np.asarray(z, dtype=np.float64) / _SQRT2)
+
+
+def _lower_gamma_series(a, x, eps=1e-15, itmax=500):
+    """Regularized lower incomplete gamma P(a,x) by series (x < a+1)."""
+    ap = a
+    term = 1.0 / a
+    total = term
+    for _ in range(itmax):
+        ap += 1.0
+        term *= x / ap
+        total += term
+        if abs(term) < abs(total) * eps:
+            break
+    return total * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _upper_gamma_cf(a, x, eps=1e-15, itmax=500):
+    """Regularized upper incomplete gamma Q(a,x) by continued fraction
+    (Lentz's algorithm; x >= a+1)."""
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, itmax + 1):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def _gammainc_q_scalar(a: float, x: float) -> float:
+    if x < 0 or a <= 0 or math.isnan(x) or math.isnan(a):
+        return float("nan")
+    if x == 0.0:
+        return 1.0
+    if x < a + 1.0:
+        return 1.0 - _lower_gamma_series(a, x)
+    return _upper_gamma_cf(a, x)
+
+
+_gammainc_q = np.vectorize(_gammainc_q_scalar, otypes=[np.float64])
+
+
+def chi2_sf(x, dof):
+    """P(X > x) for chi-square with ``dof`` degrees of freedom
+    (dof may be fractional, e.g. LOSH at ``losh.py:115-117``)."""
+    x = np.asarray(x, dtype=np.float64)
+    dof = np.asarray(dof, dtype=np.float64)
+    return _gammainc_q(dof / 2.0, x / 2.0)

@@ -1,0 +1,542 @@
+"""Local (LISA-family) statistics (SURVEY.md §2.2).
+
+Each statistic: observed values via spatial lag / edge-wise join
+(pure DataFrame ops, whole-stage codegen), analytic moments via
+grouped aggregates over the edge table, conditional-permutation
+inference via :mod:`esda_spark.operators.crand`.
+
+Reference formula sources are cited per function.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from esda_spark.functions.mathx import chi2_sf, norm_sf
+from esda_spark.operators.crand import conditional_randomization
+from esda_spark.operators.lag import spatial_lag
+from esda_spark.operators.weights import add_self_edges, transform_weights
+
+
+def _edge_moments(edges: DataFrame) -> DataFrame:
+    """(id, wi, wi2): row sums and squared row sums of W."""
+    return (
+        edges.groupBy("focal")
+        .agg(
+            F.sum("weight").alias("wi"),
+            F.sum(F.col("weight") * F.col("weight")).alias("wi2"),
+        )
+        .withColumnRenamed("focal", "id")
+    )
+
+
+def _norm_sf_col(df: DataFrame, z_col: str, out: str) -> DataFrame:
+    """p = norm.sf(|z|) as an Arrow-batched column."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _sf(s: pd.Series) -> pd.Series:
+        return pd.Series(norm_sf(s.abs().to_numpy()))
+
+    return df.withColumn(out, _sf(F.col(z_col)))
+
+
+# ---------------------------------------------------------------------------
+# Local Moran (moran.py:1175-1473)
+# ---------------------------------------------------------------------------
+
+def moran_local(
+    points: DataFrame,
+    edges: DataFrame,
+    value_col: str = "y_cont",
+    transformation: str = "r",
+    permutations: int = 999,
+    seed: int = 12345,
+    geoda_quads: bool = False,
+    alternative: str = "directed",
+    keep_simulations: bool = False,
+) -> DataFrame:
+    """Columns: id, Is, q, lag, EI, VI, EIc, VIc, p_sim.
+
+    z standardized by the population std (``moran.py:1352-1357``,
+    ddof=0); quadrants per ``__quads`` (``moran.py:1412-1422``),
+    moments per Sokal 1998 A3/A4/A7/A8 (``moran.py:1424-1468``).
+    """
+    agg = points.agg(
+        F.count("*").alias("n"), F.avg(value_col).alias("mu"),
+        F.stddev_pop(value_col).alias("sd"),
+    ).collect()[0]
+    n, mu, sd = int(agg.n), float(agg.mu), float(agg.sd)
+    zvals = points.select(
+        "id", ((F.col(value_col) - F.lit(mu)) / F.lit(sd)).alias("z")
+    )
+    den = zvals.agg(F.sum(F.col("z") * F.col("z"))).collect()[0][0]
+    den = float(den)
+    w = transform_weights(edges, transformation)
+    lag = spatial_lag(w, zvals, "z")
+    base = zvals.join(lag, "id", "left").withColumn(
+        "lag", F.coalesce("lag", F.lit(0.0))
+    )
+    q1, q2, q3, q4 = (1, 3, 2, 4) if geoda_quads else (1, 2, 3, 4)
+    base = base.withColumn(
+        "Is", F.lit(n - 1) * F.col("z") * F.col("lag") / F.lit(den)
+    ).withColumn(
+        "q",
+        F.when((F.col("z") > 0) & (F.col("lag") > 0), q1)
+        .when((F.col("z") <= 0) & (F.col("lag") > 0), q2)
+        .when((F.col("z") <= 0) & (F.col("lag") <= 0), q3)
+        .otherwise(q4),
+    )
+    # analytic moments (moran.py:1424-1468); m2 = den/n
+    m2 = den / n
+    mom = _edge_moments(w)
+    base = base.join(mom, "id", "left").fillna({"wi": 0.0, "wi2": 0.0})
+    z2 = F.col("z") * F.col("z")
+    base = (
+        base.withColumn("EIc", -(z2 * F.col("wi")) / F.lit((n - 1) * m2))
+        .withColumn(
+            "VIc",
+            (z2 / F.lit(m2 * m2)) * F.lit(n / (n - 2.0))
+            * (F.col("wi2") - F.col("wi") * F.col("wi") / F.lit(n - 1.0))
+            * F.lit(m2) * (F.lit(1.0) - z2 / F.lit((n - 1.0) * m2)),
+        )
+        .withColumn("EI", -F.col("wi") / F.lit(n - 1.0))
+    )
+    # VI (total randomization): wi2*(n-b2)/(n-1) + (wi^2-wi2)*(2*b2-n)/((n-1)(n-2)) - (wi/(n-1))^2
+    b2 = float(
+        zvals.agg(F.sum(z2 * z2)).collect()[0][0]
+    ) / n / (m2 * m2)
+    base = base.withColumn(
+        "VI",
+        F.col("wi2") * F.lit((n - b2) / (n - 1.0))
+        + (F.col("wi") * F.col("wi") - F.col("wi2")) * F.lit((2 * b2 - n) / ((n - 1.0) * (n - 2.0)))
+        - (F.col("wi") / F.lit(n - 1.0)) * (F.col("wi") / F.lit(n - 1.0)),
+    )
+    if permutations:
+        p = conditional_randomization(
+            zvals, w, base.select("id", F.col("Is").alias("observed")),
+            "moran_local", permutations=permutations, seed=seed,
+            scaling=(n - 1) / den, alternative=alternative,
+            keep=keep_simulations,
+        )
+        base = base.join(p, "id", "left")
+    return base.drop("wi", "wi2")
+
+
+def moran_local_bv(
+    points: DataFrame,
+    edges: DataFrame,
+    x_col: str,
+    y_col: str,
+    transformation: str = "r",
+    permutations: int = 999,
+    seed: int = 12345,
+    alternative: str = "directed",
+) -> DataFrame:
+    """Bivariate local Moran (moran.py:1740-2029): permutes zy only;
+    standardization uses sample std (ddof=1, moran.py ddof parity)."""
+    agg = points.agg(
+        F.count("*").alias("n"),
+        F.avg(x_col).alias("mx"), F.stddev_samp(x_col).alias("sx"),
+        F.avg(y_col).alias("my"), F.stddev_samp(y_col).alias("sy"),
+    ).collect()[0]
+    n = int(agg.n)
+    zvals = points.select(
+        "id",
+        ((F.col(x_col) - F.lit(float(agg.mx))) / F.lit(float(agg.sx))).alias("zx"),
+        ((F.col(y_col) - F.lit(float(agg.my))) / F.lit(float(agg.sy))).alias("zy"),
+    )
+    denx = float(zvals.agg(F.sum(F.col("zx") * F.col("zx"))).collect()[0][0])
+    w = transform_weights(edges, transformation)
+    lag = spatial_lag(w, zvals, "zy")
+    base = (
+        zvals.join(lag, "id", "left")
+        .withColumn("lag", F.coalesce("lag", F.lit(0.0)))
+        .withColumn("Is", F.lit(n - 1) * F.col("zx") * F.col("lag") / F.lit(denx))
+    )
+    if permutations:
+        p = conditional_randomization(
+            zvals, w, base.select("id", F.col("Is").alias("observed")),
+            "moran_local_bv", permutations=permutations, seed=seed,
+            scaling=(n - 1) / denx, alternative=alternative,
+        )
+        base = base.join(p, "id", "left")
+    return base
+
+
+def moran_local_rate(
+    points: DataFrame,
+    edges: DataFrame,
+    e_col: str = "e",
+    b_col: str = "b",
+    **kwargs,
+) -> DataFrame:
+    """Local Moran on Assunção-Reis rates (moran.py:2205-2481)."""
+    from esda_spark.operators.rates import assuncao_rate
+
+    rated = assuncao_rate(points, e_col, b_col, out_col="_ar")
+    return moran_local(rated, edges, value_col="_ar", **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Local Geary (geary_local.py:11-225)
+# ---------------------------------------------------------------------------
+
+def geary_local(
+    points: DataFrame,
+    edges: DataFrame,
+    value_col: str = "y_cont",
+    permutations: int = 999,
+    seed: int = 12345,
+    alternative: str = "directed",
+    labels: bool = False,
+    sig: float = 0.05,
+) -> DataFrame:
+    """Columns: id, localG, p_sim [, labs]."""
+    agg = points.agg(
+        F.avg(value_col).alias("mu"), F.stddev_pop(value_col).alias("sd")
+    ).collect()[0]
+    mu, sd = float(agg.mu), float(agg.sd)
+    zvals = points.select(
+        "id", ((F.col(value_col) - F.lit(mu)) / F.lit(sd)).alias("z")
+    )
+    zf = zvals.select(F.col("id").alias("focal"), F.col("z").alias("zf"))
+    zn = zvals.select(F.col("id").alias("neighbor"), F.col("z").alias("zn"))
+    d = F.col("zf") - F.col("zn")
+    obs = (
+        edges.join(F.broadcast(zf), "focal").join(F.broadcast(zn), "neighbor")
+        .groupBy("focal")
+        .agg(F.sum(F.col("weight") * d * d).alias("localG"))
+        .withColumnRenamed("focal", "id")
+    )
+    base = points.select("id", F.col(value_col).alias("_y")).join(
+        obs, "id", "left"
+    ).withColumn("localG", F.coalesce("localG", F.lit(0.0)))
+    if permutations:
+        p = conditional_randomization(
+            zvals, edges, base.select("id", F.col("localG").alias("observed")),
+            "geary_local", permutations=permutations, seed=seed,
+            alternative=alternative,
+        )
+        base = base.join(p, "id", "left")
+    if labels and permutations:
+        stats_row = base.agg(
+            F.avg("localG").alias("eij"), F.avg("_y").alias("xm")
+        ).collect()[0]
+        eij, xm = float(stats_row.eij), float(stats_row.xm)
+        base = base.withColumn(
+            "labs",
+            F.when(
+                (F.col("localG") < eij) & (F.col("_y") > xm) & (F.col("p_sim") <= sig), 1
+            )
+            .when(
+                (F.col("localG") < eij) & (F.col("_y") < xm) & (F.col("p_sim") <= sig), 2
+            )
+            .when((F.col("localG") > eij) & (F.col("p_sim") <= sig), 3)
+            .when(F.col("p_sim") > sig, 4),
+        )
+    return base.drop("_y")
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord local Gi / Gi* (getisord.py:191-562)
+# ---------------------------------------------------------------------------
+
+def g_local(
+    points: DataFrame,
+    edges: DataFrame,
+    value_col: str = "y_cont",
+    star: bool = False,
+    transform: str = "R",
+    permutations: int = 999,
+    seed: int = 12345,
+    alternative: str = "directed",
+) -> DataFrame:
+    """Columns: id, Gs, EGs, VGs, Zs, p_norm, p_sim.
+
+    Gi: G_i = (Wy)_i / (sum y - y_i); Gi*: self-weight included and
+    denominator sum y (``getisord.py:445-481``).  The star variant adds
+    unit self-edges before the transform (``_infer_star_and_structure_w``
+    diagonal fill, ``getisord.py:489-562``).
+    """
+    if star:
+        edges = add_self_edges(edges, points, 1.0)
+    w = transform_weights(edges, transform)
+    yv = points.select("id", F.col(value_col).alias("y"))
+    agg = yv.agg(
+        F.count("*").alias("n"), F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    ).collect()[0]
+    n, y_sum, y2_sum = int(agg.n), float(agg.sy), float(agg.sy2)
+    remove_self = 0 if star else 1
+    N = n - remove_self
+    lag = spatial_lag(w, yv, "y")
+    card = _edge_moments(w)  # wi = cardinality under binary / row sums
+    base = (
+        yv.join(lag, "id", "left").withColumn("lag", F.coalesce("lag", F.lit(0.0)))
+        .join(card, "id", "left").fillna({"wi": 0.0, "wi2": 0.0})
+    )
+    base = base.withColumn(
+        "Gs", F.col("lag") / (F.lit(y_sum) - F.col("y") * F.lit(remove_self))
+    )
+    emp_mean = (F.lit(y_sum) - F.col("y") * F.lit(remove_self)) / F.lit(N)
+    mean_sq = (F.lit(y2_sum) - F.col("y") * F.col("y") * F.lit(remove_self)) / F.lit(N)
+    emp_var = mean_sq - emp_mean * emp_mean
+    base = (
+        base.withColumn("EGs", F.col("wi") / F.lit(N))
+        .withColumn(
+            "VGs",
+            F.col("wi") * (F.lit(N) - F.col("wi")) / F.lit(N - 1.0)
+            / F.lit(float(N) ** 2) * (emp_var / (emp_mean * emp_mean)),
+        )
+        .withColumn("Zs", (F.col("Gs") - F.col("EGs")) / F.sqrt("VGs"))
+    )
+    base = _norm_sf_col(base, "Zs", "p_norm")
+    if permutations:
+        p = conditional_randomization(
+            yv.select("id", F.col("y").alias("z")), w,
+            base.select("id", F.col("Gs").alias("observed")),
+            "g_local_star" if star else "g_local",
+            permutations=permutations, seed=seed, scaling=y_sum,
+            alternative=alternative,
+        )
+        base = base.join(p, "id", "left")
+    return base.drop("wi", "wi2")
+
+
+# ---------------------------------------------------------------------------
+# Local join counts: univariate / bivariate / multivariate
+# ---------------------------------------------------------------------------
+
+def join_counts_local(
+    points: DataFrame,
+    edges: DataFrame,
+    value_col: str = "y_bin",
+    permutations: int = 999,
+    seed: int = 12345,
+    alternative: str = "directed",
+) -> DataFrame:
+    """LJC_i = sum_j w_ij [y_i=1 & y_j=1], binary W, diag zeroed
+    (join_counts_local.py:13-219); p_sim NaN where LJC=0."""
+    w = transform_weights(
+        edges.where(F.col("focal") != F.col("neighbor")), "B"
+    )
+    yv = points.select("id", F.col(value_col).cast("double").alias("z"))
+    yf = yv.select(F.col("id").alias("focal"), F.col("z").alias("yf"))
+    yn = yv.select(F.col("id").alias("neighbor"), F.col("z").alias("yn"))
+    obs = (
+        w.join(F.broadcast(yf), "focal").join(F.broadcast(yn), "neighbor")
+        .groupBy("focal")
+        .agg(
+            F.sum(
+                ((F.col("yf") == 1) & (F.col("yn") == 1)).cast("double")
+                * F.col("weight")
+            ).alias("LJC")
+        )
+        .withColumnRenamed("focal", "id")
+    )
+    base = yv.select("id").join(obs, "id", "left").withColumn(
+        "LJC", F.coalesce("LJC", F.lit(0.0))
+    )
+    if permutations:
+        p = conditional_randomization(
+            yv, w, base.select("id", F.col("LJC").alias("observed")),
+            "ljc_uni", permutations=permutations, seed=seed,
+            alternative=alternative,
+        )
+        base = base.join(p, "id", "left").withColumn(
+            "p_sim", F.when(F.col("LJC") == 0, F.lit(None)).otherwise(F.col("p_sim"))
+        )
+    return base
+
+
+def join_counts_local_bv(
+    points: DataFrame,
+    edges: DataFrame,
+    x_col: str,
+    z_col: str,
+    case: str = "CLC",
+    permutations: int = 999,
+    seed: int = 12345,
+    alternative: str = "directed",
+) -> DataFrame:
+    """Bivariate LJC (join_counts_local_bv.py:13-306).
+
+    case='BJC': x_i=1,z_i=0,x_j=0,z_j=1; case='CLC': all four = 1.
+    """
+    w = transform_weights(edges.where(F.col("focal") != F.col("neighbor")), "B")
+    vals = points.select(
+        "id", F.col(x_col).cast("double").alias("zx"),
+        F.col(z_col).cast("double").alias("zy"),
+    )
+    vf = vals.select(F.col("id").alias("focal"), F.col("zx").alias("xf"),
+                     F.col("zy").alias("zf"))
+    vn = vals.select(F.col("id").alias("neighbor"), F.col("zx").alias("xn"),
+                     F.col("zy").alias("zn"))
+    if case == "BJC":
+        cond = (
+            (F.col("xf") == 1) & (F.col("zf") == 0)
+            & (F.col("xn") == 0) & (F.col("zn") == 1)
+        )
+        kernel = "ljc_bv_case1"
+    elif case == "CLC":
+        cond = (
+            (F.col("xf") == 1) & (F.col("zf") == 1)
+            & (F.col("xn") == 1) & (F.col("zn") == 1)
+        )
+        kernel = "ljc_bv_case2"
+    else:
+        raise NotImplementedError(f"LJC case {case!r}")
+    obs = (
+        w.join(F.broadcast(vf), "focal").join(F.broadcast(vn), "neighbor")
+        .groupBy("focal")
+        .agg(F.sum(cond.cast("double") * F.col("weight")).alias("LJC"))
+        .withColumnRenamed("focal", "id")
+    )
+    base = vals.select("id").join(obs, "id", "left").withColumn(
+        "LJC", F.coalesce("LJC", F.lit(0.0))
+    )
+    if permutations:
+        p = conditional_randomization(
+            vals, w, base.select("id", F.col("LJC").alias("observed")),
+            kernel, permutations=permutations, seed=seed,
+            alternative=alternative,
+        )
+        base = base.join(p, "id", "left").withColumn(
+            "p_sim", F.when(F.col("LJC") == 0, F.lit(None)).otherwise(F.col("p_sim"))
+        )
+    return base
+
+
+def join_counts_local_mv(
+    points: DataFrame,
+    edges: DataFrame,
+    value_cols: list[str],
+    permutations: int = 999,
+    seed: int = 12345,
+    alternative: str = "directed",
+) -> DataFrame:
+    """Multivariate LJC (join_counts_local_mv.py:13-221): the product
+    column reduces it to the univariate path."""
+    prod = F.lit(1.0)
+    for c in value_cols:
+        prod = prod * F.col(c).cast("double")
+    pts = points.withColumn("_ext", prod)
+    return join_counts_local(
+        pts, edges, "_ext", permutations=permutations, seed=seed,
+        alternative=alternative,
+    ).withColumnRenamed("LJC", "MCLC")
+
+
+# ---------------------------------------------------------------------------
+# Local Lee (lee.py:100-249)
+# ---------------------------------------------------------------------------
+
+def lee_local(
+    points: DataFrame,
+    edges: DataFrame,
+    x_col: str,
+    y_col: str,
+    permutations: int = 999,
+    seed: int = 12345,
+    alternative: str = "directed",
+) -> DataFrame:
+    """L_i = (W~zx)_i (W~zy)_i on row-standardized W (lee.py:236-238);
+    inference follows the fit loop at lee.py:197-231 (joint draws of
+    the centered pair; row-standardized weights)."""
+    agg = points.agg(
+        F.avg(x_col).alias("mx"), F.stddev_pop(x_col).alias("sx"),
+        F.avg(y_col).alias("my"), F.stddev_pop(y_col).alias("sy"),
+    ).collect()[0]
+    w = transform_weights(edges, "R")
+    zvals = points.select(
+        "id",
+        ((F.col(x_col) - F.lit(float(agg.mx))) / F.lit(float(agg.sx))).alias("zx"),
+        ((F.col(y_col) - F.lit(float(agg.my))) / F.lit(float(agg.sy))).alias("zy"),
+    )
+    lx = spatial_lag(w, zvals, "zx", "lx")
+    ly = spatial_lag(w, zvals, "zy", "ly")
+    base = (
+        zvals.select("id")
+        .join(lx, "id", "left").join(ly, "id", "left")
+        .withColumn("L", F.coalesce("lx", F.lit(0.0)) * F.coalesce("ly", F.lit(0.0)))
+        .drop("lx", "ly")
+    )
+    if permutations:
+        p = conditional_randomization(
+            zvals, w, base.select("id", F.col("L").alias("observed")),
+            "lee_local", permutations=permutations, seed=seed, scaling=1.0,
+            alternative=alternative,
+        )
+        base = base.join(p, "id", "left")
+    return base
+
+
+# ---------------------------------------------------------------------------
+# LOSH (losh.py:17-158)
+# ---------------------------------------------------------------------------
+
+def losh(
+    points: DataFrame,
+    edges: DataFrame,
+    value_col: str = "y_cont",
+    a: float = 2.0,
+    inference: str | None = "chi-square",
+) -> DataFrame:
+    """Columns: id, Hi, ylag, yresid, VarHi [, pval].
+
+    H_i = W|y - ylag|^a / (mean(resid) * rowsum); chi-square inference
+    Zi = 2 Hi / VarHi with dof 2/VarHi (losh.py:102-152).
+    """
+    yv = points.select("id", F.col(value_col).alias("y"))
+    n = yv.count()
+    rowsum = (
+        edges.groupBy("focal").agg(
+            F.sum("weight").alias("rowsum"),
+            F.sum(F.col("weight") * F.col("weight")).alias("sq_rowsum"),
+        ).withColumnRenamed("focal", "id")
+    )
+    lag_y = spatial_lag(edges, yv, "y", "wy")
+    base = (
+        yv.join(lag_y, "id", "left").join(rowsum, "id", "left")
+        .withColumn("ylag", F.col("wy") / F.col("rowsum"))
+        .withColumn("yresid", F.pow(F.abs(F.col("y") - F.col("ylag")), F.lit(float(a))))
+    )
+    resid_stats = base.agg(
+        F.avg("yresid").alias("rm"),
+        F.sum(F.col("yresid") * F.col("yresid")).alias("r2s"),
+    ).collect()[0]
+    rmean, r2sum = float(resid_stats.rm), float(resid_stats.r2s)
+    lag_res = spatial_lag(edges, base.select("id", F.col("yresid").alias("v")), "v", "wres")
+    base = (
+        base.join(lag_res, "id", "left")
+        .withColumn("denom", F.lit(rmean) * F.col("rowsum"))
+        .withColumn("Hi", F.col("wres") / F.col("denom"))
+        .withColumn(
+            "VarHi",
+            F.lit(1.0 / (n - 1))
+            * F.pow(F.col("denom"), F.lit(-2.0))
+            * F.lit(r2sum / n - rmean * rmean)
+            * (F.lit(float(n)) * F.col("sq_rowsum") - F.col("rowsum") * F.col("rowsum")),
+        )
+    )
+    if inference == "chi-square":
+        if a != 2:
+            raise ValueError("chi-square inference assumes a=2 (losh.py:107-114)")
+
+        @F.pandas_udf(T.DoubleType())
+        def _chi2_p(hi: pd.Series, varhi: pd.Series) -> pd.Series:
+            v = varhi.to_numpy()
+            return pd.Series(chi2_sf(2.0 * hi.to_numpy() / v, 2.0 / v))
+
+        base = base.withColumn("pval", _chi2_p(F.col("Hi"), F.col("VarHi")))
+    elif inference is not None:
+        raise NotImplementedError(
+            f"LOSH inference {inference!r} (reference losh.py:118-122 also "
+            "raises for non-chi-square)"
+        )
+    return base.drop("wy", "wres", "denom", "rowsum", "sq_rowsum")

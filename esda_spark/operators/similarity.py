@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the query
+  block, JVM-side ``zip_with``/``aggregate`` dot products (sequential
+  fold => deterministic), per-query ``row_number`` top-k.  The
+  baseline every ANN variant is validated against.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing as the scale
+  path: queries only score candidates sharing a signature-prefix
+  bucket, trading recall for a ~buckets-fold scan reduction.  The
+  hyperplanes derive from a seeded numpy RNG broadcast to a pandas
+  UDF (Arrow-batched).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, rank, sim): exact cosine top-k per query.
+
+    The query block is broadcast; the corpus side streams — one scan,
+    no shuffle except the per-query top-k window (partitioned by
+    query_id, which is uniform by construction).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+    )
+    c = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = q.crossJoin(c).where(F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        "vec_id",
+        (_dot(F.col("qv"), F.col("cv"))
+         / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    num_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bucket): sign-pattern bucket id from seeded random
+    hyperplanes (broadcast (num_planes, dim) matrix, Arrow-batched)."""
+    planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast(planes)
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        H = bc.value
+        pows = (1 << np.arange(H.shape[0])).astype(np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (M @ H.T) > 0
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].to_numpy(), "bucket": bits @ pows}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        sig, schema="vec_id long, bucket long"
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket candidates."""
+    corpus_sig = hyperplane_signatures(
+        embeddings, dim, num_planes, seed, id_col, vec_col
+    )
+    query_sig = hyperplane_signatures(
+        queries.select(F.col(query_id_col).alias("vec_id"),
+                       F.col(vec_col)),
+        dim, num_planes, seed, "vec_id", vec_col,
+    ).withColumnRenamed("vec_id", "query_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).join(query_sig, "query_id")
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).join(corpus_sig, "vec_id")
+    scored = (
+        F.broadcast(q).join(c, "bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id",
+            (_dot(F.col("qv"), F.col("cv"))
+             / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )

@@ -1,0 +1,286 @@
+"""Spatial-weights builders + transforms, as edge DataFrames.
+
+The reference's core structure is the ``W``/``Graph`` dual (scipy CSR
+or adjacency list, SURVEY.md §1.1).  Here the *only* representation is
+the long-form edge DataFrame::
+
+    W(focal: long, neighbor: long, weight: double)
+
+which is the ``w.to_adjlist()`` form esda's newer local statistics
+already compute on (reference ``geary_local.py:187-209``,
+``join_counts_local.py:186-204``) — and is Spark's native shape: every
+neighbor aggregation is a hash join + hash aggregate.
+
+Builders
+--------
+- :func:`knn_edges` — exact k-nearest-neighbor graph via cell-ring
+  candidate generation with doubling-radius settlement (no spatial
+  index structure; candidate generation is an equi-join on cell key).
+- :func:`distance_band_edges` — all pairs within a radius (exact; the
+  ring radius is derived from the threshold, so one pass suffices).
+- :func:`lattice_edges` — rook/queen contiguity on an r x c lattice,
+  exactly libpysal's ``lat2W`` ordering (id = row*ncols + col); used
+  by the golden-value test fixtures (reference ``tests/test_ljc.py:12``).
+
+Transforms (reference semantics selected at ``moran.py:187``,
+``geary.py:111``, ``getisord.py:117``; defined by libpysal):
+'O' original, 'B' binary, 'R' row-standardized, 'D' double
+(global-sum) standardized, 'V' variance-stabilizing.
+
+Scale notes: the candidate join shuffles on the packed BIGINT cell
+key; dense (hot) cells are the skew axis — AQE skew-join splits them
+at runtime, and `salt` on the window ranking is unnecessary because
+the per-focal ranking partitions by point id (uniform), not by cell.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from esda_spark.plans.cells import expand_ring, with_cell
+
+EDGE_COLS = ("focal", "neighbor", "weight")
+
+
+def _estimate_cell_size(points: DataFrame, k: int) -> float:
+    """Pick a cell size so a 3x3 ring holds ~2k points on average."""
+    row = points.agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    area = max((row.x1 - row.x0) * (row.y1 - row.y0), 1e-12)
+    # 9 cells * density * s^2 = 2k  =>  s = sqrt(2k * area / (9 n))
+    return max(math.sqrt(2.0 * k * area / (9.0 * max(row.n, 1))), 1e-9)
+
+
+def knn_edges(
+    points: DataFrame,
+    k: int,
+    cell_size: float | None = None,
+    binary: bool = True,
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Exact kNN edges (Euclidean, tie-broken by neighbor id).
+
+    Doubling-ring settlement: a focal is settled once it has >= k
+    candidates whose k-th squared distance is strictly inside the
+    guaranteed-covered radius ``R * cell_size``; unsettled focals
+    (sparse-region stragglers — typically a tiny fraction) retry with
+    a doubled ring.  Each round joins only the unsettled remainder, so
+    the expensive first round dominates and later rounds are small
+    broadcastable sides.
+    """
+    if cell_size is None:
+        cell_size = _estimate_cell_size(points, k)
+    pts = with_cell(points.select("id", "x", "y"), cell_size)
+    targets = pts.select(
+        F.col("id").alias("neighbor"),
+        F.col("x").alias("nx"),
+        F.col("y").alias("ny"),
+        F.col("cell"),
+    )
+    spark = points.sparkSession
+    unsettled = pts
+    results: list[DataFrame] = []
+    radius = 1
+    for _ in range(max_rounds):
+        cand = (
+            expand_ring(unsettled.withColumnRenamed("cell", "cell0"), radius)
+            .join(targets, "cell")
+            .where(F.col("id") != F.col("neighbor"))
+        )
+        dx = F.col("x") - F.col("nx")
+        dy = F.col("y") - F.col("ny")
+        cand = cand.select(
+            "id", "x", "y", "cx", "cy", "cell0", "neighbor",
+            (dx * dx + dy * dy).alias("d2"),
+        )
+        win = Window.partitionBy("id").orderBy("d2", "neighbor")
+        topk = (
+            cand.withColumn("rk", F.row_number().over(win))
+            .where(F.col("rk") <= k)
+        )
+        guard = float(radius * cell_size) ** 2
+        stats = topk.groupBy("id").agg(
+            F.count("*").alias("cnt"), F.max("d2").alias("d2max")
+        )
+        settled_ids = stats.where(
+            (F.col("cnt") >= k) & (F.col("d2max") < F.lit(guard))
+        ).select("id")
+        world_covered = radius * cell_size > 400.0
+        if world_covered:
+            settled_ids = stats.select("id")
+        edges = topk.join(settled_ids, "id", "inner").select(
+            F.col("id").alias("focal"),
+            "neighbor",
+            (F.lit(1.0) if binary else (F.lit(1.0) / F.sqrt("d2"))).alias("weight"),
+        )
+        results.append(edges)
+        unsettled = unsettled.join(settled_ids, "id", "left_anti")
+        if world_covered or unsettled.isEmpty():
+            break
+        radius *= 2
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def distance_band_edges(
+    points: DataFrame,
+    threshold: float,
+    cell_size: float | None = None,
+    binary: bool = True,
+    alpha: float = -1.0,
+) -> DataFrame:
+    """All pairs with 0 < dist <= threshold (libpysal DistanceBand).
+
+    Exact in a single pass: a ring of radius ceil(threshold/cell_size)
+    is guaranteed to cover the band.
+    """
+    if cell_size is None:
+        cell_size = threshold
+    radius = max(int(math.ceil(threshold / cell_size)), 1)
+    pts = with_cell(points.select("id", "x", "y"), cell_size)
+    targets = pts.select(
+        F.col("id").alias("neighbor"), F.col("x").alias("nx"),
+        F.col("y").alias("ny"), F.col("cell"),
+    )
+    cand = (
+        expand_ring(pts, radius)
+        .join(targets, "cell")
+        .where(F.col("id") != F.col("neighbor"))
+    )
+    dx = F.col("x") - F.col("nx")
+    dy = F.col("y") - F.col("ny")
+    d2 = dx * dx + dy * dy
+    cand = cand.select(F.col("id").alias("focal"), "neighbor", d2.alias("d2")).where(
+        F.col("d2") <= F.lit(float(threshold) ** 2)
+    )
+    if binary:
+        w = F.lit(1.0)
+    else:
+        w = F.pow(F.sqrt("d2"), F.lit(float(alpha)))
+    return cand.select("focal", "neighbor", w.alias("weight"))
+
+
+def lattice_edges(spark, nrows: int, ncols: int, rook: bool = True) -> DataFrame:
+    """Rook/queen contiguity on an nrows x ncols lattice (lat2W order)."""
+    cells = spark.range(nrows * ncols).select(
+        F.col("id"),
+        (F.col("id") / ncols).cast("long").alias("r"),
+        (F.col("id") % ncols).alias("c"),
+    )
+    offs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if not rook:
+        offs += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    off_df = spark.createDataFrame(offs, "dr int, dc int")
+    nbr = (
+        cells.crossJoin(F.broadcast(off_df))
+        .select(
+            "id",
+            (F.col("r") + F.col("dr")).alias("nr"),
+            (F.col("c") + F.col("dc")).alias("nc"),
+        )
+        .where(
+            (F.col("nr") >= 0) & (F.col("nr") < nrows)
+            & (F.col("nc") >= 0) & (F.col("nc") < ncols)
+        )
+    )
+    return nbr.select(
+        F.col("id").alias("focal"),
+        (F.col("nr") * ncols + F.col("nc")).alias("neighbor"),
+        F.lit(1.0).alias("weight"),
+    )
+
+
+def transform_weights(edges: DataFrame, style: str = "R") -> DataFrame:
+    """Apply a libpysal-style weight transform (reference ``moran.py:50-56``)."""
+    style = style.upper()
+    if style == "O":
+        return edges
+    if style == "B":
+        return edges.withColumn("weight", F.lit(1.0))
+    if style == "R":
+        win = Window.partitionBy("focal")
+        return edges.withColumn(
+            "weight", F.col("weight") / F.sum("weight").over(win)
+        )
+    if style == "D":
+        s0 = edges.agg(F.sum("weight")).collect()[0][0]
+        return edges.withColumn("weight", F.col("weight") / F.lit(float(s0)))
+    if style == "V":
+        win = Window.partitionBy("focal")
+        q = F.sqrt(F.sum(F.col("weight") * F.col("weight")).over(win))
+        scaled = edges.withColumn("weight", F.col("weight") / q)
+        row = scaled.agg(
+            F.sum("weight").alias("q_total"),
+            F.count_distinct("focal").alias("n"),
+        ).collect()[0]
+        return scaled.withColumn(
+            "weight", F.col("weight") * F.lit(float(row.n) / float(row.q_total))
+        )
+    raise ValueError(f"unknown transform {style!r}")
+
+
+def weights_summary(edges: DataFrame) -> dict[str, float]:
+    """s0, s1, s2 scalars (reference ``moran.py:239-247``).
+
+    s0 = sum w_ij;  s1 = 1/2 sum (w_ij + w_ji)^2;
+    s2 = sum_i (row_sum_i + col_sum_i)^2.
+
+    One self-join on the reversed key pair for the transpose term and
+    two aggregates; the result is a handful of broadcast scalars.
+    """
+    e = edges.select("focal", "neighbor", "weight")
+    t = edges.select(
+        F.col("neighbor").alias("focal"),
+        F.col("focal").alias("neighbor"),
+        F.col("weight").alias("weight_t"),
+    )
+    sym = e.join(t, ["focal", "neighbor"], "full_outer").select(
+        F.coalesce("weight", F.lit(0.0)).alias("w"),
+        F.coalesce("weight_t", F.lit(0.0)).alias("wt"),
+    )
+    s0, s1 = (
+        sym.agg(
+            F.sum("w").alias("s0"),
+            (F.sum((F.col("w") + F.col("wt")) * (F.col("w") + F.col("wt"))) / 2.0).alias("s1"),
+        )
+        .collect()[0]
+    )
+    rows = edges.groupBy("focal").agg(F.sum("weight").alias("rw")).withColumnRenamed("focal", "node")
+    cols = (
+        edges.groupBy("neighbor").agg(F.sum("weight").alias("cw"))
+        .withColumnRenamed("neighbor", "node")
+    )
+    both = rows.join(cols, "node", "full_outer").select(
+        (F.coalesce("rw", F.lit(0.0)) + F.coalesce("cw", F.lit(0.0))).alias("t")
+    )
+    s2 = both.agg(F.sum(F.col("t") * F.col("t"))).collect()[0][0]
+    return {"s0": float(s0), "s1": float(s1), "s2": float(s2)}
+
+
+def cardinalities(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("focal").agg(F.count("*").alias("cardinality"))
+
+
+def islands(points: DataFrame, edges: DataFrame) -> DataFrame:
+    """Units with no neighbors (left-anti join, reference ``crand.py:333-335``)."""
+    return points.join(
+        edges.select(F.col("focal").alias("id")).distinct(), "id", "left_anti"
+    )
+
+
+def add_self_edges(edges: DataFrame, points: DataFrame, weight: float = 1.0) -> DataFrame:
+    """Union self-loops (i, i, w) — the Gi* diagonal fill
+    (reference ``getisord.py:500-545``)."""
+    selfe = points.select(
+        F.col("id").alias("focal"), F.col("id").alias("neighbor"),
+        F.lit(float(weight)).alias("weight"),
+    )
+    return edges.select(*EDGE_COLS).unionByName(selfe)

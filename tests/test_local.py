@@ -1,0 +1,211 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from esda_spark.operators import local_stats as ls
+from esda_spark.operators.weights import lattice_edges
+from tests import oracle_numpy as onp
+
+
+@pytest.fixture(scope="module")
+def fx(spark):
+    rng = np.random.default_rng(7)
+    n = 64
+    y = rng.normal(5, 2, n)
+    x2 = rng.normal(0, 1, n)
+    ybin = (rng.random(n) < 0.4).astype(float)
+    zbin = (rng.random(n) < 0.4).astype(float)
+    rows = [
+        (int(i), float(y[i]), float(x2[i]), float(ybin[i]), float(zbin[i]))
+        for i in range(n)
+    ]
+    pts = spark.createDataFrame(
+        rows, "id long, y_cont double, x2 double, y_bin double, z_bin double"
+    )
+    edges = lattice_edges(spark, 8, 8, rook=True)
+    edges_np = np.array([(r.focal, r.neighbor) for r in edges.collect()])
+    return {"y": y, "x2": x2, "ybin": ybin, "zbin": zbin, "pts": pts,
+            "edges": edges, "edges_np": edges_np, "n": n}
+
+
+def _collect_by_id(df, col):
+    rows = df.orderBy("id").collect()
+    return np.array([getattr(r, col) for r in rows], dtype=float)
+
+
+def test_moran_local_observed_and_quads(fx):
+    res = ls.moran_local(fx["pts"], fx["edges"], "y_cont",
+                         permutations=99, seed=3).cache()
+    w = onp.row_standardize(fx["edges_np"], np.ones(len(fx["edges_np"])))
+    want = onp.moran_local(fx["y"], fx["edges_np"], w)
+    np.testing.assert_allclose(_collect_by_id(res, "Is"), want["Is"], rtol=1e-10)
+    np.testing.assert_array_equal(
+        _collect_by_id(res, "q").astype(int), want["q"]
+    )
+    p = _collect_by_id(res, "p_sim")
+    assert ((p > 0) & (p <= 1)).all()
+
+
+def test_moran_local_moments(fx):
+    # Sokal 1998 conditional/total moments vs direct numpy evaluation
+    res = ls.moran_local(fx["pts"], fx["edges"], "y_cont", permutations=0)
+    w = onp.row_standardize(fx["edges_np"], np.ones(len(fx["edges_np"])))
+    n = fx["n"]
+    y = fx["y"]
+    z = (y - y.mean()) / y.std()
+    m2 = (z * z).sum() / n
+    wi = np.zeros(n)
+    wi2 = np.zeros(n)
+    for (f, _), wgt in zip(fx["edges_np"], w):
+        wi[f] += wgt
+        wi2[f] += wgt * wgt
+    EIc = -(z**2 * wi) / ((n - 1) * m2)
+    VIc = (z / m2) ** 2 * (n / (n - 2.0)) * (wi2 - wi**2 / (n - 1.0)) * (
+        m2 - z**2 / (n - 1.0)
+    )
+    EI = -wi / (n - 1)
+    np.testing.assert_allclose(_collect_by_id(res, "EIc"), EIc, rtol=1e-10)
+    np.testing.assert_allclose(_collect_by_id(res, "VIc"), VIc, rtol=1e-10)
+    np.testing.assert_allclose(_collect_by_id(res, "EI"), EI, rtol=1e-10)
+
+
+def test_moran_local_deterministic(fx):
+    a = ls.moran_local(fx["pts"], fx["edges"], "y_cont", permutations=99, seed=3)
+    b = ls.moran_local(
+        fx["pts"].repartition(7), fx["edges"].repartition(5), "y_cont",
+        permutations=99, seed=3,
+    )
+    np.testing.assert_array_equal(
+        _collect_by_id(a, "p_sim"), _collect_by_id(b, "p_sim")
+    )
+
+
+def test_geary_local_observed(fx):
+    # reference Geary_Local uses the connectivity as given; row-standardize
+    # first (the documented usage, geary_local.py docstring)
+    from esda_spark.operators.weights import transform_weights
+
+    res = ls.geary_local(
+        fx["pts"], transform_weights(fx["edges"], "R"),
+        "y_cont", permutations=49, seed=5,
+    )
+    w = onp.row_standardize(fx["edges_np"], np.ones(len(fx["edges_np"])))
+    want = onp.geary_local(fx["y"], fx["edges_np"], w)
+    np.testing.assert_allclose(_collect_by_id(res, "localG"), want, rtol=1e-10)
+
+
+def test_g_local_observed_and_moments(fx):
+    res = ls.g_local(fx["pts"], fx["edges"], "y_cont", star=False,
+                     transform="B", permutations=49, seed=5)
+    want = onp.g_local(fx["y"], fx["edges_np"], np.ones(len(fx["edges_np"])),
+                       star=False)
+    np.testing.assert_allclose(_collect_by_id(res, "Gs"), want["Gs"], rtol=1e-10)
+    np.testing.assert_allclose(_collect_by_id(res, "Zs"), want["Zs"], rtol=1e-10)
+
+
+def test_g_local_star(fx):
+    res = ls.g_local(fx["pts"], fx["edges"], "y_cont", star=True,
+                     transform="B", permutations=0)
+    # star: self-edge weight 1; oracle with explicit self edges
+    edges_star = np.vstack(
+        [fx["edges_np"], np.array([(i, i) for i in range(fx["n"])])]
+    )
+    want = onp.g_local(fx["y"], edges_star, np.ones(len(edges_star)), star=True)
+    np.testing.assert_allclose(_collect_by_id(res, "Gs"), want["Gs"], rtol=1e-10)
+    np.testing.assert_allclose(_collect_by_id(res, "Zs"), want["Zs"], rtol=1e-10)
+
+
+def test_ljc_lattice_golden(spark):
+    # Golden array from reference tests/test_ljc.py:22-31: lat2W(4,4),
+    # y=[0]*8+[1]*8 -> [0,0,0,0,0,0,0,0,2,3,3,2,2,3,3,2]; p NaN where LJC=0.
+    y = [0.0] * 8 + [1.0] * 8
+    pts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(y)], "id long, y_bin double"
+    )
+    edges = lattice_edges(spark, 4, 4, rook=True)
+    res = ls.join_counts_local(pts, edges, "y_bin", permutations=99, seed=1)
+    got = _collect_by_id(res, "LJC")
+    np.testing.assert_array_equal(
+        got, [0, 0, 0, 0, 0, 0, 0, 0, 2, 3, 3, 2, 2, 3, 3, 2]
+    )
+    rows = res.orderBy("id").collect()
+    assert all(r.p_sim is None for r in rows[:8])
+    assert all(r.p_sim is not None for r in rows[8:])
+
+
+def test_ljc_bv_and_mv(fx):
+    bjc = ls.join_counts_local_bv(fx["pts"], fx["edges"], "y_bin", "z_bin",
+                                  case="BJC", permutations=49, seed=2)
+    clc = ls.join_counts_local_bv(fx["pts"], fx["edges"], "y_bin", "z_bin",
+                                  case="CLC", permutations=49, seed=2)
+    x, z = fx["ybin"], fx["zbin"]
+    bjc_want = np.zeros(fx["n"])
+    clc_want = np.zeros(fx["n"])
+    for f, nb in fx["edges_np"]:
+        bjc_want[f] += (x[f] == 1) & (z[f] == 0) & (x[nb] == 0) & (z[nb] == 1)
+        clc_want[f] += (x[f] == 1) & (z[f] == 1) & (x[nb] == 1) & (z[nb] == 1)
+    np.testing.assert_array_equal(_collect_by_id(bjc, "LJC"), bjc_want)
+    np.testing.assert_array_equal(_collect_by_id(clc, "LJC"), clc_want)
+    mv = ls.join_counts_local_mv(fx["pts"], fx["edges"], ["y_bin", "z_bin"],
+                                 permutations=0)
+    mv_want = np.zeros(fx["n"])
+    prod = x * z
+    for f, nb in fx["edges_np"]:
+        mv_want[f] += (prod[f] == 1) & (prod[nb] == 1)
+    np.testing.assert_array_equal(_collect_by_id(mv, "MCLC"), mv_want)
+
+
+def test_lee_local_observed(fx):
+    res = ls.lee_local(fx["pts"], fx["edges"], "y_cont", "x2", permutations=49,
+                       seed=9)
+    n = fx["n"]
+    w = onp.row_standardize(fx["edges_np"], np.ones(len(fx["edges_np"])))
+    zx = (fx["y"] - fx["y"].mean()) / fx["y"].std()
+    zy = (fx["x2"] - fx["x2"].mean()) / fx["x2"].std()
+    want = onp.lag(n, fx["edges_np"], w, zx) * onp.lag(n, fx["edges_np"], w, zy)
+    np.testing.assert_allclose(_collect_by_id(res, "L"), want, rtol=1e-10)
+
+
+def test_losh(fx):
+    res = ls.losh(fx["pts"], fx["edges"], "y_cont")
+    w = onp.row_standardize(fx["edges_np"], np.ones(len(fx["edges_np"])))
+    want = onp.losh(fx["y"], fx["edges_np"], w)
+    np.testing.assert_allclose(_collect_by_id(res, "Hi"), want["Hi"], rtol=1e-10)
+    np.testing.assert_allclose(_collect_by_id(res, "VarHi"), want["VarHi"],
+                               rtol=1e-10)
+    p = _collect_by_id(res, "pval")
+    assert ((p >= 0) & (p <= 1)).all()
+
+
+def test_crand_alternatives_invariants(fx):
+    # significance invariants (reference tests/test_significance.py:18-54)
+    from esda_spark.operators.crand import conditional_randomization
+    from esda_spark.operators.weights import transform_weights
+
+    pts, edges = fx["pts"], fx["edges"]
+    agg = pts.agg(F.avg("y_cont"), F.stddev_pop("y_cont")).collect()[0]
+    z = pts.select(
+        "id", ((F.col("y_cont") - agg[0]) / agg[1]).alias("z")
+    )
+    w = transform_weights(edges, "R")
+    obs = ls.moran_local(pts, edges, "y_cont", permutations=0).select(
+        "id", F.col("Is").alias("observed")
+    )
+    ps = {}
+    for alt in ["two-sided", "lesser", "greater", "directed", "folded"]:
+        ps[alt] = _collect_by_id(
+            conditional_randomization(z, w, obs, "moran_local",
+                                      permutations=99, seed=42, alternative=alt),
+            "p_sim",
+        )
+    k = 99
+    for alt, p in ps.items():
+        assert ((p > 0) & (p <= 1)).all(), alt
+    assert (ps["directed"] <= ps["two-sided"] + 1e-12).all()
+    np.testing.assert_allclose(
+        ps["lesser"] + ps["greater"], 1.0 + 1.0 / (k + 1), rtol=1e-12
+    )
+    assert (
+        (np.abs(ps["directed"] - ps["lesser"]) < 1e-12)
+        | (np.abs(ps["directed"] - ps["greater"]) < 1e-12)
+    ).all()

@@ -1,0 +1,117 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_webpages_byte_identical_extraction(spark, sf_dir):
+    from esda_spark.sources.webpages import extract_text, synth_webpages
+
+    pages = synth_webpages(spark, sf_dir)
+    out = extract_text(pages)
+    mism = out.where(F.col("extracted_text") != F.col("text")).count()
+    assert mism == 0
+    assert out.count() == pages.count()
+    # urls unique
+    assert pages.select("url").distinct().count() == pages.count()
+
+
+def test_checkpoint_stage_resume(spark, tmp_path):
+    from esda_spark.plans.checkpoint import read_manifest, stage
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    p = str(tmp_path / "stage1")
+    df1 = stage(spark, p, "fp-v1", build)
+    assert df1.count() == 100 and calls["n"] == 1
+    m = read_manifest(p)
+    assert m["rows"] == 100 and m["fingerprint"] == "fp-v1"
+    # same fingerprint -> resumed, not rebuilt
+    df2 = stage(spark, p, "fp-v1", build)
+    assert df2.count() == 100 and calls["n"] == 1
+    # changed fingerprint -> rebuilt
+    stage(spark, p, "fp-v2", build)
+    assert calls["n"] == 2
+
+
+def test_streaming_cell_counts(spark, tmp_path):
+    from esda_spark.streaming.ingest import cell_counts_stream
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    batch = spark.range(200).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        (F.col("id") % 10).cast("double").alias("x"),
+        (F.col("id") % 7).cast("double").alias("y"),
+        (F.col("id") * 3).alias("n_chars"),
+    )
+    batch.write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    agg = cell_counts_stream(stream, cell_size=5.0, window="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("cells")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from cells").collect()
+    assert sum(r.doc_count for r in rows) == 200
+    assert all(r.char_sum > 0 for r in rows)
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    from esda_spark.operators.multimodal import (
+        frame_sample,
+        image_features,
+        synth_image_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    imgs = synth_image_table(docs)
+    feats = image_features(imgs).collect()
+    assert len(feats) == 50
+    assert all(0 <= r.mean <= 255 for r in feats)
+    # deterministic
+    feats2 = image_features(imgs).collect()
+    assert {(r.doc_id, r.mean) for r in feats} == {
+        (r.doc_id, r.mean) for r in feats2
+    }
+    frames = frame_sample(imgs, every_n=16)
+    assert frames.count() > 0
+    with pytest.raises(NotImplementedError):
+        image_features(imgs, fake_decode=False)
+
+
+def test_fdr_and_significance_helpers():
+    from esda_spark.operators.significance import fdr, permutation_significance
+
+    rng = np.random.default_rng(3)
+    sims = rng.normal(size=(50, 99))
+    obs = rng.normal(size=50)
+    p = permutation_significance(obs, sims, "two-sided")
+    assert ((p > 0) & (p <= 1)).all()
+    cut = fdr(p, 0.05)
+    assert 0 < cut <= 0.05
+
+
+def test_mathx_against_reference_values():
+    from esda_spark.functions.mathx import chi2_sf, norm_sf
+
+    # scipy reference values (precomputed)
+    assert norm_sf(1.96) == pytest.approx(0.024997895148220435, rel=1e-12)
+    assert norm_sf(-1.0) == pytest.approx(0.8413447460685429, rel=1e-12)
+    import math
+
+    # chi2_sf(x, 1) == erfc(sqrt(x/2)) exactly
+    assert chi2_sf(3.84, 1) == pytest.approx(
+        math.erfc(math.sqrt(3.84 / 2)), rel=1e-12
+    )
+    # fractional dof vs numerical integration (verified offline)
+    assert chi2_sf(5.0, 2.5) == pytest.approx(0.1230885711526587, rel=1e-9)
+    assert chi2_sf(0.5, 7.3) == pytest.approx(0.9996366322967627, rel=1e-9)

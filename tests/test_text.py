@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from esda_spark.operators import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_h60_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["hello", "the quick brown fox", "", "ünïcode", "a b  c"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in df.select("s", tx.h60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        want = con.sql(
+            "select cast(md5_number_lower(?) >> 4 as bigint)", params=[v]
+        ).fetchone()[0]
+        assert got[v] == want, v
+
+
+def test_exact_dedup(spark):
+    rows = [(0, "aa"), (1, "bb"), (2, "aa"), (3, "cc"), (4, "aa")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {r.keeper: r.dup_count for r in tx.exact_dedup_groups(df).collect()}
+    assert groups == {0: 3, 1: 1, 3: 1}
+
+
+def test_shingles_and_minhash(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the cat sat on the hat"),
+         (2, "completely different words here")],
+        "doc_id long, text string",
+    )
+    sh = df.select(
+        tx.shingles_col(F.col("text"), 3).alias("s")
+    ).collect()[0].s
+    assert "the cat sat" in sh and "cat sat on" in sh
+    sig = tx.minhash_signatures(df, num_hashes=8).orderBy("doc_id").collect()
+    s0 = np.array([getattr(sig[0], f"h{i}") for i in range(8)])
+    s1 = np.array([getattr(sig[1], f"h{i}") for i in range(8)])
+    s2 = np.array([getattr(sig[2], f"h{i}") for i in range(8)])
+    # near-dups agree on more minhashes than unrelated docs
+    assert (s0 == s1).sum() > (s0 == s2).sum()
+
+
+def test_lsh_and_jaccard(spark):
+    base = "word%d " * 30
+    rows = [
+        (0, base % tuple(range(30))),
+        (1, base % tuple(range(30))),          # exact dup of 0
+        (2, base % tuple(list(range(29)) + [99])),  # near dup
+        (3, " ".join(f"other{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = tx.minhash_signatures(df, num_hashes=16)
+    pairs = tx.lsh_candidate_pairs(sig, num_hashes=16, bands=4)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert (0, 3) not in got and (1, 3) not in got
+    jac = tx.ngram_jaccard_pairs(df, pairs)
+    jmap = {(r.doc_a, r.doc_b): r.jaccard for r in jac.collect()}
+    assert jmap[(0, 1)] == pytest.approx(1.0)
+    if (0, 2) in jmap:
+        assert 0.5 < jmap[(0, 2)] < 1.0
+
+
+def test_simhash_near_dup_property(spark):
+    rows = [
+        (0, " ".join(f"tok{i}" for i in range(50))),
+        (1, " ".join(f"tok{i}" for i in range(49)) + " changed"),
+        (2, " ".join(f"zzz{i}" for i in range(50))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r.doc_id: r.simhash for r in tx.simhash_signatures(df).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sig[0], sig[1]) < ham(sig[0], sig[2])
+    assert all(0 <= v < (1 << 60) for v in sig.values())
+
+
+def test_lang_id_and_quality_and_tokens(spark):
+    rows = [
+        (0, "the cat and the dog went to the park in the morning"),
+        (1, "der Hund und die Katze sind nicht in das Haus"),
+        (2, "le chat et la souris dans les maisons des villes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    langs = {r.doc_id: r.pred_lang for r in tx.lang_id(df).collect()}
+    assert langs == {0: "en", 1: "de", 2: "fr"}
+    q = tx.quality_score(df).orderBy("doc_id").collect()
+    assert all(0 <= r.quality <= 1 for r in q)
+    t = tx.token_counts(df).orderBy("doc_id").collect()
+    assert t[0].ws_tokens == 12
+    fp = tx.fingerprint(df).collect()
+    assert len({r.fp for r in fp}) == 3
+
+
+def test_text_ops_on_testdata(docs):
+    n = docs.count()
+    assert tx.exact_dedup_groups(docs).count() <= n
+    qs = tx.quality_score(docs)
+    assert qs.count() == n
+    assert tx.token_counts(docs).where(F.col("ws_tokens") <= 0).count() == 0

@@ -1,0 +1,83 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from esda_spark.operators.weights import (
+    distance_band_edges,
+    knn_edges,
+    lattice_edges,
+    transform_weights,
+    weights_summary,
+)
+from tests import oracle_numpy as onp
+
+
+def _rand_points(spark, n=120, seed=7):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, 100, size=(n, 2))
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(xy)]
+    return xy, spark.createDataFrame(rows, "id long, x double, y double")
+
+
+def test_knn_exact_vs_brute(spark):
+    xy, pts = _rand_points(spark)
+    for k in (1, 4, 8):
+        got = {
+            (r.focal, r.neighbor)
+            for r in knn_edges(pts, k=k, cell_size=12.0).collect()
+        }
+        want = {tuple(e) for e in onp.brute_knn_edges(xy, k)}
+        assert got == want, f"k={k}"
+
+
+def test_knn_small_cell_forces_ring_expansion(spark):
+    # tiny cells => first ring almost never settles => exercises doubling
+    xy, pts = _rand_points(spark, n=60)
+    got = {
+        (r.focal, r.neighbor)
+        for r in knn_edges(pts, k=5, cell_size=1.0).collect()
+    }
+    want = {tuple(e) for e in onp.brute_knn_edges(xy, 5)}
+    assert got == want
+
+
+def test_distance_band_exact(spark):
+    xy, pts = _rand_points(spark)
+    got = {
+        (r.focal, r.neighbor)
+        for r in distance_band_edges(pts, threshold=9.0, cell_size=4.0).collect()
+    }
+    want = {tuple(e) for e in onp.brute_distance_band(xy, 9.0)}
+    assert got == want
+
+
+def test_lattice_rook_4x4(spark):
+    # lat2W(4,4): corner cells have 2 neighbors, edges 3, interior 4
+    e = lattice_edges(spark, 4, 4, rook=True)
+    cards = {r.focal: r.c for r in e.groupBy("focal").agg(F.count("*").alias("c")).collect()}
+    assert cards[0] == 2 and cards[5] == 4 and cards[1] == 3
+    assert sum(cards.values()) == 48  # 2*edges = 2*24
+
+
+def test_row_standardize_and_summary(spark):
+    e = lattice_edges(spark, 4, 4, rook=True)
+    r = transform_weights(e, "R")
+    sums = r.groupBy("focal").agg(F.sum("weight").alias("s")).collect()
+    assert all(abs(row.s - 1.0) < 1e-12 for row in sums)
+    s = weights_summary(r)
+    edges = np.array([(x.focal, x.neighbor) for x in e.collect()])
+    w = onp.row_standardize(edges, np.ones(len(edges)))
+    s0, s1, s2 = onp.s_values(16, edges, w)
+    assert s["s0"] == pytest.approx(s0)
+    assert s["s1"] == pytest.approx(s1)
+    assert s["s2"] == pytest.approx(s2)
+
+
+def test_transform_styles(spark):
+    e = lattice_edges(spark, 3, 3, rook=True)
+    b = transform_weights(e, "B")
+    assert all(r.weight == 1.0 for r in b.collect())
+    d = transform_weights(e, "D")
+    assert d.agg(F.sum("weight")).collect()[0][0] == pytest.approx(1.0)
+    v = transform_weights(e, "V")
+    assert v.agg(F.sum("weight")).collect()[0][0] == pytest.approx(9.0)
