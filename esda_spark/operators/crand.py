@@ -119,6 +119,15 @@ def _k_lee_local(i, z, zr, w, self_w, scaling):
     return lx[..., 0] * lx[..., 1] * (scaling if scaling else 1.0)
 
 
+def _k_geary_local_mv(i, z, zr, w, self_w, scaling):
+    # reference geary_local_mv.py:199-211: joint draws of all k
+    # variables, (1/k) sum_v (z_vi - zrand_v)^2 @ w
+    nv = z.shape[1]
+    zi = z[i][:, None, None, :]
+    diff2 = (zi - zr) ** 2
+    return np.einsum("mkcv,mc->mk", diff2, w) / nv
+
+
 KERNELS = {
     "moran_local": (_k_moran_local, "uni"),
     "moran_local_bv": (_k_moran_local_bv, "bv_permute_y"),
@@ -129,6 +138,7 @@ KERNELS = {
     "ljc_bv_case1": (_k_ljc_bv_case1, "bv_permute_y"),
     "ljc_bv_case2": (_k_ljc_bv_case2, "bv_joint"),
     "lee_local": (_k_lee_local, "bv_joint"),
+    "geary_local_mv": (_k_geary_local_mv, "bv_joint"),
 }
 
 

@@ -540,3 +540,149 @@ def losh(
             "raises for non-chi-square)"
         )
     return base.drop("wy", "wres", "denom", "rowsum", "sq_rowsum")
+
+
+# ---------------------------------------------------------------------------
+# Multivariate local Geary (geary_local_mv.py:9-213)
+# ---------------------------------------------------------------------------
+
+def geary_local_mv(
+    points: DataFrame,
+    edges: DataFrame,
+    value_cols: list[str],
+    permutations: int = 999,
+    seed: int = 12345,
+    alternative: str = "directed",
+) -> DataFrame:
+    """c_i = (1/k) sum_v sum_j w_ij (z_vi - z_vj)^2, z-scored per
+    variable (ddof=0); joint conditional permutation of the row tuple."""
+    k = len(value_cols)
+    aggs = points.agg(
+        *[F.avg(c).alias(f"m_{c}") for c in value_cols],
+        *[F.stddev_pop(c).alias(f"s_{c}") for c in value_cols],
+    ).collect()[0]
+    zcols = [
+        ((F.col(c) - F.lit(float(aggs[f"m_{c}"])))
+         / F.lit(float(aggs[f"s_{c}"]))).alias(f"z{i}")
+        for i, c in enumerate(value_cols)
+    ]
+    zvals = points.select("id", *zcols)
+    zf = zvals.select(
+        F.col("id").alias("focal"),
+        *[F.col(f"z{i}").alias(f"zf{i}") for i in range(k)],
+    )
+    zn = zvals.select(
+        F.col("id").alias("neighbor"),
+        *[F.col(f"z{i}").alias(f"zn{i}") for i in range(k)],
+    )
+    term = None
+    for i in range(k):
+        d = F.col(f"zf{i}") - F.col(f"zn{i}")
+        term = d * d if term is None else term + d * d
+    obs = (
+        edges.join(F.broadcast(zf), "focal").join(F.broadcast(zn), "neighbor")
+        .groupBy("focal")
+        .agg((F.sum(F.col("weight") * term) / F.lit(float(k))).alias("localG"))
+        .withColumnRenamed("focal", "id")
+    )
+    base = zvals.select("id").join(obs, "id", "left").withColumn(
+        "localG", F.coalesce("localG", F.lit(0.0))
+    )
+    if permutations:
+        p = conditional_randomization(
+            zvals, edges, base.select("id", F.col("localG").alias("observed")),
+            "geary_local_mv", permutations=permutations, seed=seed,
+            scaling=1.0, alternative=alternative,
+        )
+        base = base.join(p, "id", "left")
+    return base
+
+
+# ---------------------------------------------------------------------------
+# Conditional multivariate local Moran (moran_local_mv.py:300-476):
+# LISA on the OLS residuals of y ~ X
+# ---------------------------------------------------------------------------
+
+def moran_local_conditional(
+    points: DataFrame,
+    edges: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    permutations: int = 999,
+    seed: int = 12345,
+    alternative: str = "directed",
+    unit_scale: bool = True,
+) -> DataFrame:
+    """Columns: id, yf (filtered y), lag, assoc, labels, p_sim.
+
+    OLS fit = closed-form normal equations from a collected (p+1)x(p+1)
+    Gram matrix (tiny), residual is a pure column expression; the LISA
+    on residuals reuses the crand engine.
+    """
+    import numpy as np
+
+    p = len(x_cols)
+    aggs = points.agg(
+        F.avg(y_col).alias("my"), F.stddev_pop(y_col).alias("sy"),
+        *[F.avg(c).alias(f"m{i}") for i, c in enumerate(x_cols)],
+        *[F.stddev_pop(c).alias(f"s{i}") for i, c in enumerate(x_cols)],
+    ).collect()[0]
+    ycol = F.col(y_col) - F.lit(float(aggs.my))
+    xcols = [F.col(c) - F.lit(float(aggs[f"m{i}"])) for i, c in enumerate(x_cols)]
+    if unit_scale:
+        ycol = ycol / F.lit(float(aggs.sy))
+        xcols = [xc / F.lit(float(aggs[f"s{i}"])) for i, xc in enumerate(xcols)]
+    zd = points.select(
+        "id", ycol.alias("yc"),
+        *[xc.alias(f"x{i}") for i, xc in enumerate(xcols)],
+    )
+    # Gram matrix with intercept (centered data -> intercept ~ 0, but
+    # keep it for exact parity with sklearn LinearRegression)
+    names = ["one"] + [f"x{i}" for i in range(p)]
+    zd1 = zd.withColumn("one", F.lit(1.0))
+    gram_aggs = []
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            gram_aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"g_{a}_{b}"))
+        gram_aggs.append(F.sum(F.col(a) * F.col("yc")).alias(f"gy_{a}"))
+    g = zd1.agg(*gram_aggs).collect()[0]
+    G = np.zeros((p + 1, p + 1))
+    v = np.zeros(p + 1)
+    for i, a in enumerate(names):
+        for j, b in enumerate(names):
+            key = f"g_{a}_{b}" if j >= i else f"g_{b}_{a}"
+            G[i, j] = float(g[key])
+        v[i] = float(g[f"gy_{a}"])
+    beta = np.linalg.solve(G, v)
+    pred = F.lit(float(beta[0]))
+    for i in range(p):
+        pred = pred + F.lit(float(beta[i + 1])) * F.col(f"x{i}")
+    yf = zd.select("id", (F.col("yc") - pred).alias("yf"))
+    den = float(yf.agg(F.sum(F.col("yf") * F.col("yf"))).collect()[0][0])
+    n = yf.count()
+    w = transform_weights(edges, "R")
+    lagd = spatial_lag(w, yf, "yf")
+    base = (
+        yf.join(lagd, "id", "left")
+        .withColumn("lag", F.coalesce("lag", F.lit(0.0)))
+        .withColumn(
+            "assoc", F.col("yf") * F.col("lag") / F.lit(den) * F.lit(n - 1.0)
+        )
+        .withColumn(
+            "labels",
+            # quads table [[3,2],[4,1]] indexed by (yf>0, lag>0)
+            F.when((F.col("yf") > 0) & (F.col("lag") > 0), 1)
+            .when((F.col("yf") > 0) & (F.col("lag") <= 0), 4)
+            .when((F.col("yf") <= 0) & (F.col("lag") > 0), 2)
+            .otherwise(3),
+        )
+    )
+    if permutations:
+        pdf = conditional_randomization(
+            yf.withColumnRenamed("yf", "z"), w,
+            base.select("id", F.col("assoc").alias("observed")),
+            "moran_local", permutations=permutations, seed=seed,
+            scaling=(n - 1) / den, alternative=alternative,
+        )
+        base = base.join(pdf, "id", "left")
+    return base

@@ -225,3 +225,86 @@ def spatial_median_rate(
             "id", F.col("r")
         )
     return points.join(rates.withColumnRenamed("r", out_col), "id", "left")
+
+
+def kernel_smoother(
+    points: DataFrame, kernel_edges: DataFrame,
+    e_col: str = "e", b_col: str = "b", out_col: str = "r",
+) -> DataFrame:
+    """r_i = (W_k e)_i / (W_k b)_i with kernel weights incl. self
+    (``smoothing.py:859-926``; build weights with
+    ``weights.kernel_edges``)."""
+    le = spatial_lag(kernel_edges, points.select("id", F.col(e_col).alias("v")),
+                     "v", "we")
+    lb = spatial_lag(kernel_edges, points.select("id", F.col(b_col).alias("v")),
+                     "v", "wb")
+    return (
+        points.join(le, "id", "left").join(lb, "id", "left")
+        .withColumn(out_col, F.col("we") / F.col("wb"))
+        .drop("we", "wb")
+    )
+
+
+# --- age standardization (smoothing.py:176-430) -----------------------------
+# Long-format input: (id, age, e, b [, s_e, s_b, s]).  Interval estimates
+# (gamma/poisson CIs) are omitted — they need inverse-gamma quantiles;
+# point estimates match the reference formulas exactly.
+
+
+def crude_age_standardization(
+    df: DataFrame, e_col: str = "e", b_col: str = "b", unit_col: str = "id"
+) -> DataFrame:
+    """(id, rate): sum_age (e/b)*(b/B) = E/B per unit
+    (``smoothing.py:176-226``)."""
+    return df.groupBy(unit_col).agg(
+        (F.sum(e_col) / F.sum(b_col)).alias("rate")
+    )
+
+
+def direct_age_standardization(
+    df: DataFrame, e_col: str = "e", b_col: str = "b", s_col: str = "s",
+    unit_col: str = "id",
+) -> DataFrame:
+    """(id, rate): sum_age (e/b) * (s / S) with standard population s
+    (``smoothing.py:228-300``, point estimate)."""
+    stot = (
+        df.groupBy(unit_col).agg(F.sum(s_col).alias("S"))
+    )
+    return (
+        df.join(stot, unit_col)
+        .groupBy(unit_col)
+        .agg(
+            F.sum(
+                (F.col(e_col) / F.col(b_col)) * (F.col(s_col) / F.col("S"))
+            ).alias("rate")
+        )
+    )
+
+
+def standardized_mortality_ratio(
+    df: DataFrame, e_col: str = "e", b_col: str = "b",
+    se_col: str = "s_e", sb_col: str = "s_b", unit_col: str = "id",
+) -> DataFrame:
+    """(id, smr): observed events / expected events, expected from the
+    standard population's age-specific rates (``smoothing.py:397-430``)."""
+    return df.groupBy(unit_col).agg(
+        (
+            F.sum(e_col)
+            / F.sum(F.col(b_col) * (F.col(se_col) / F.col(sb_col)))
+        ).alias("smr")
+    )
+
+
+def indirect_age_standardization(
+    df: DataFrame, e_col: str = "e", b_col: str = "b",
+    se_col: str = "s_e", sb_col: str = "s_b", unit_col: str = "id",
+) -> DataFrame:
+    """(id, rate): SMR * overall standard rate
+    (``smoothing.py:313-396``, point estimate)."""
+    tot = df.agg(
+        (F.sum(se_col) / F.sum(sb_col)).alias("s_r_all")
+    ).collect()[0]
+    smr = standardized_mortality_ratio(df, e_col, b_col, se_col, sb_col, unit_col)
+    return smr.select(
+        unit_col, (F.col("smr") * F.lit(float(tot.s_r_all))).alias("rate")
+    )

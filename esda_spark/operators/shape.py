@@ -1,0 +1,188 @@
+"""Per-polygon shape/compactness statistics (reference ``shape.py``,
+SURVEY.md §2.4-C2).
+
+Embarrassingly parallel per geometry -> one Arrow-batched kernel over
+the coordinate-array polygon representation (no shapely in the image:
+convex hull = Andrew monotone chain, minimum bounding circle = Welzl,
+minimum rotated rectangle = rotating calipers over hull edges — all
+textbook computational-geometry algorithms in numpy).
+
+Implemented measures (formula parity with the reference, file:line):
+area, perimeter, isoperimetric_quotient (shape.py:177),
+isoareal_quotient (:215), minimum_bounding_circle_ratio (:265),
+radii_ratio (:279), diameter_ratio (:291, rotated), length_width_diff
+(:312), boundary_amplitude (:330), convex_hull_ratio (:346),
+fractal_dimension (:356, square support), rectangularity (:411),
+shape_index (:433), equivalent_rectangular_index (:452),
+form_factor (:479).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def ring_area(xs: np.ndarray, ys: np.ndarray) -> float:
+    return 0.5 * abs(float(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))))
+
+
+def ring_perimeter(xs: np.ndarray, ys: np.ndarray) -> float:
+    dx = np.roll(xs, -1) - xs
+    dy = np.roll(ys, -1) - ys
+    return float(np.sqrt(dx * dx + dy * dy).sum())
+
+
+def convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; pts (n,2) -> hull (m,2) CCW."""
+    pts = np.unique(pts, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(points):
+        out: list[np.ndarray] = []
+        for p in points:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_bounding_circle_radius(pts: np.ndarray) -> float:
+    """Welzl's algorithm (iterative move-to-front) on the hull points."""
+    hull = convex_hull(pts)
+    P = [tuple(p) for p in hull]
+
+    def circle_two(a, b):
+        cx, cy = (a[0] + b[0]) / 2, (a[1] + b[1]) / 2
+        r = math.dist(a, b) / 2
+        return cx, cy, r
+
+    def circle_three(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if abs(d) < 1e-24:
+            return None
+        ux = ((ax**2 + ay**2) * (by - cy) + (bx**2 + by**2) * (cy - ay)
+              + (cx**2 + cy**2) * (ay - by)) / d
+        uy = ((ax**2 + ay**2) * (cx - bx) + (bx**2 + by**2) * (ax - cx)
+              + (cx**2 + cy**2) * (bx - ax)) / d
+        return ux, uy, math.dist((ux, uy), a)
+
+    def inside(c, p, eps=1e-9):
+        return c is not None and math.dist((c[0], c[1]), p) <= c[2] * (1 + eps)
+
+    c = None
+    for i, p in enumerate(P):
+        if inside(c, p):
+            continue
+        c = (p[0], p[1], 0.0)
+        for j, q in enumerate(P[: i + 1]):
+            if inside(c, q):
+                continue
+            c = circle_two(p, q)
+            for r_ in P[: j + 1]:
+                if inside(c, r_):
+                    continue
+                c3 = circle_three(p, q, r_)
+                if c3 is not None:
+                    c = c3
+    return float(c[2]) if c else 0.0
+
+
+def min_rotated_rect(pts: np.ndarray) -> tuple[float, float]:
+    """(width, height) of the minimum-area rotated rectangle
+    (rotating calipers over hull edge directions)."""
+    hull = convex_hull(pts)
+    if len(hull) == 1:
+        return 0.0, 0.0
+    if len(hull) == 2:
+        return float(np.linalg.norm(hull[1] - hull[0])), 0.0
+    best = (math.inf, 0.0, 0.0)
+    m = len(hull)
+    for i in range(m):
+        e = hull[(i + 1) % m] - hull[i]
+        norm = np.linalg.norm(e)
+        if norm == 0:
+            continue
+        ux, uy = e / norm
+        R = np.array([[ux, uy], [-uy, ux]])
+        proj = hull @ R.T
+        w = proj[:, 0].max() - proj[:, 0].min()
+        h = proj[:, 1].max() - proj[:, 1].min()
+        if w * h < best[0]:
+            best = (w * h, float(w), float(h))
+    return best[1], best[2]
+
+
+def _one_polygon_stats(xs: np.ndarray, ys: np.ndarray, height: float) -> dict:
+    A = ring_area(xs, ys)
+    P = ring_perimeter(xs, ys)
+    pts = np.column_stack([xs, ys])
+    hull = convex_hull(pts)
+    hull_A = ring_area(hull[:, 0], hull[:, 1]) if len(hull) >= 3 else 0.0
+    hull_P = ring_perimeter(hull[:, 0], hull[:, 1]) if len(hull) >= 2 else 0.0
+    r_mbc = min_bounding_circle_radius(pts)
+    w_mrr, h_mrr = min_rotated_rect(pts)
+    mrr_A = w_mrr * h_mrr
+    mrr_P = 2 * (w_mrr + h_mrr)
+    bw = xs.max() - xs.min()
+    bh = ys.max() - ys.min()
+    V = A * height
+    return {
+        "area": A,
+        "perimeter": P,
+        "isoperimetric_quotient": 4 * math.pi * A / (P * P) if P else np.nan,
+        "isoareal_quotient": 2 * math.sqrt(math.pi * A) / P if P else np.nan,
+        "minimum_bounding_circle_ratio": A / (math.pi * r_mbc**2) if r_mbc else np.nan,
+        "radii_ratio": math.sqrt(A / math.pi) / r_mbc if r_mbc else np.nan,
+        "diameter_ratio": (min(w_mrr, h_mrr) / max(w_mrr, h_mrr)
+                           if max(w_mrr, h_mrr) else np.nan),
+        "length_width_diff": bh - bw,
+        "boundary_amplitude": hull_P / P if P else np.nan,
+        "convex_hull_ratio": A / hull_A if hull_A else np.nan,
+        "fractal_dimension": (2 * math.log(P / 4) / math.log(A)
+                              if A > 0 and A != 1 and P > 0 else np.nan),
+        "rectangularity": A / mrr_A if mrr_A else np.nan,
+        "shape_index": math.sqrt(A / math.pi) / r_mbc if r_mbc else np.nan,
+        "equivalent_rectangular_index": (
+            math.sqrt(A / mrr_A) * (mrr_P / P) if mrr_A and P else np.nan
+        ),
+        "form_factor": A / V ** (2 / 3) if V > 0 else 0.0,
+    }
+
+
+_STAT_COLS = list(_one_polygon_stats(
+    np.array([0.0, 1, 1, 0]), np.array([0.0, 0, 1, 1]), 1.0
+).keys())
+
+
+def shape_stats(polygons: DataFrame, height: float = 1.0) -> DataFrame:
+    """(poly_id, <15 shape measures>): vectorized per-geometry kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for row in pdf.itertuples(index=False):
+                xs = np.asarray(row.xs, dtype=np.float64)
+                ys = np.asarray(row.ys, dtype=np.float64)
+                rows.append(_one_polygon_stats(xs, ys, height))
+            out = pd.DataFrame(rows)
+            out.insert(0, "poly_id", pdf["poly_id"].to_numpy())
+            yield out
+
+    schema = "poly_id long, " + ", ".join(f"{c} double" for c in _STAT_COLS)
+    return polygons.select("poly_id", "xs", "ys").mapInPandas(kernel, schema=schema)

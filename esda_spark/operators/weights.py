@@ -83,7 +83,6 @@ def knn_edges(
         F.col("y").alias("ny"),
         F.col("cell"),
     )
-    spark = points.sparkSession
     unsettled = pts
     results: list[DataFrame] = []
     radius = 1
@@ -96,34 +95,44 @@ def knn_edges(
         dx = F.col("x") - F.col("nx")
         dy = F.col("y") - F.col("ny")
         cand = cand.select(
-            "id", "x", "y", "cx", "cy", "cell0", "neighbor",
-            (dx * dx + dy * dy).alias("d2"),
+            "id", "neighbor", (dx * dx + dy * dy).alias("d2")
         )
         win = Window.partitionBy("id").orderBy("d2", "neighbor")
+        guard = float(radius * cell_size) ** 2
+        world_covered = radius * cell_size > 400.0
+        # one shuffle: rank per focal, keep top-k, tag settled focals via
+        # a window max over the kept rows — no separate stats job
         topk = (
             cand.withColumn("rk", F.row_number().over(win))
             .where(F.col("rk") <= k)
-        )
-        guard = float(radius * cell_size) ** 2
-        stats = topk.groupBy("id").agg(
-            F.count("*").alias("cnt"), F.max("d2").alias("d2max")
-        )
-        settled_ids = stats.where(
-            (F.col("cnt") >= k) & (F.col("d2max") < F.lit(guard))
-        ).select("id")
-        world_covered = radius * cell_size > 400.0
-        if world_covered:
-            settled_ids = stats.select("id")
-        edges = topk.join(settled_ids, "id", "inner").select(
+            .withColumn(
+                "_settled",
+                F.lit(world_covered)
+                | (
+                    (F.max("rk").over(Window.partitionBy("id")) >= k)
+                    & (F.max("d2").over(Window.partitionBy("id")) < F.lit(guard))
+                ),
+            )
+        ).cache()
+        edges = topk.where(F.col("_settled")).select(
             F.col("id").alias("focal"),
             "neighbor",
             (F.lit(1.0) if binary else (F.lit(1.0) / F.sqrt("d2"))).alias("weight"),
         )
         results.append(edges)
-        unsettled = unsettled.join(settled_ids, "id", "left_anti")
-        if world_covered or unsettled.isEmpty():
+        remaining_ids = (
+            topk.where(~F.col("_settled")).select("id").distinct()
+            .unionByName(  # focals with zero candidates this round
+                unsettled.select("id").join(
+                    topk.select("id").distinct(), "id", "left_anti"
+                )
+            )
+        )
+        n_remaining = remaining_ids.count()
+        if world_covered or n_remaining == 0:
             break
-        radius *= 2
+        unsettled = unsettled.join(remaining_ids.distinct(), "id", "left_semi")
+        radius *= 4
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
@@ -284,3 +293,44 @@ def add_self_edges(edges: DataFrame, points: DataFrame, weight: float = 1.0) -> 
         F.lit(float(weight)).alias("weight"),
     )
     return edges.select(*EDGE_COLS).unionByName(selfe)
+
+
+# libpysal Kernel weights: K(z) with z = d_ij / bandwidth_i
+_KERNELS = {
+    "triangular": lambda z: F.lit(1.0) - z,
+    "uniform": lambda z: F.lit(0.5) * F.lit(1.0),
+    "quadratic": lambda z: F.lit(0.75) * (1.0 - z * z),
+    "quartic": lambda z: F.lit(15.0 / 16.0)
+    * (1.0 - z * z) * (1.0 - z * z),
+    "gaussian": lambda z: F.lit(0.3989422804014327)
+    * F.exp(F.lit(-0.5) * z * z),
+}
+
+
+def kernel_edges(
+    points: DataFrame,
+    bandwidth: float,
+    function: str = "triangular",
+    cell_size: float | None = None,
+    include_self: bool = True,
+) -> DataFrame:
+    """Fixed-bandwidth kernel weights (libpysal ``Kernel`` analogue,
+    consumed by the reference's ``Kernel_Smoother``, smoothing.py:859).
+
+    Edge weights K(d/h) for all pairs with d <= h; self-edges carry
+    K(0) when ``include_self``.
+    """
+    fn = _KERNELS[function]
+    band = distance_band_edges(
+        points, threshold=bandwidth, cell_size=cell_size, binary=False,
+        alpha=1.0,
+    )  # weight column = distance
+    z = F.col("weight") / F.lit(float(bandwidth))
+    edges = band.select("focal", "neighbor", fn(z).alias("weight"))
+    if include_self:
+        selfe = points.select(
+            F.col("id").alias("focal"), F.col("id").alias("neighbor"),
+            fn(F.lit(0.0)).alias("weight"),
+        )
+        edges = edges.unionByName(selfe)
+    return edges
