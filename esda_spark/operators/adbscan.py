@@ -72,7 +72,7 @@ def dbscan(
                     F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
                 ).alias("cluster"),
             )
-            .cache()
+            .localCheckpoint(eager=True)  # truncate per-iteration lineage
         )
         changed = (
             new_labels.alias("n")

@@ -18,11 +18,16 @@ Re-expression of the reference engine (``crand.py:59-243`` driver,
    with ``groupBy(focal).agg(sort_array(collect_list(...)))`` — the
    shuffle plays the role of the reference's joblib chunking
    (``crand.py:360-459``); one Arrow batch ≈ one chunk.
-4. A ``mapInPandas`` kernel evaluates all k simulations for a batch of
-   sites fully vectorized: for site i the draw ids index the value
-   vector with the self hole closed via ``idx + (idx >= i)`` (exactly
-   ``_prepare_univariate``'s masked gather, ``crand.py:584-592``),
-   giving an (m, k, c) gather + einsum per chunk, no per-row Python.
+4. A ``mapInPandas`` kernel evaluates all k simulations for a site
+   batch with NO per-site 3-D gather: the reference's masked draw
+   ``z_no_i[P] = z[P + (P >= i)]`` (``_prepare_univariate``,
+   ``crand.py:584-592``) decomposes into a site-independent part plus
+   a boolean correction,
+
+       lag_i = w_i @ z[P].T  +  einsum(P >= i, z[P+1]-z[P], w_i)
+
+   so each chunk is one BLAS matmul + one einsum over an (m,k,c)
+   boolean — the hot path never materializes an (m,k,c) float gather.
 
 The RNG stream is ``numpy.random.default_rng(seed)`` rather than the
 reference's numba ``np.random.choice`` — draws are statistically
@@ -41,104 +46,120 @@ from pyspark.sql import functions as F
 
 from esda_spark.operators.significance import permutation_significance
 
-# Element budget for the (m, k, c) gather per vectorized chunk.
+# Element budget for the (m, k, c) boolean block per vectorized chunk.
 _CHUNK_ELEMS = 8_000_000
 
 
+class _LagFactory:
+    """Per-chunk helper: masked-draw lag matrices for any value vector.
+
+    For sites ``i`` (m,), shared draw table ``P`` (k, c), padded weights
+    ``w`` (m, c):  lag(v)[i, k] = sum_c w[i,c] * v_no_i[P[k,c]].
+    """
+
+    def __init__(self, P: np.ndarray, i_sel: np.ndarray, w: np.ndarray):
+        self.P = P
+        self.w = w
+        self.b = P[None, :, :] >= i_sel[:, None, None]
+        self.rowsum = w.sum(axis=1)
+
+    def lag(self, v: np.ndarray) -> np.ndarray:
+        vlo = v[self.P]
+        dv = v[self.P + 1] - vlo
+        return self.w @ vlo.T + np.einsum(
+            "mkc,kc,mc->mk", self.b, dv, self.w
+        )
+
+
 # --- stat kernels -----------------------------------------------------------
-# Each kernel: (i, z, zr, w, self_w, scaling) -> (m, k) simulated statistics
-#   i: (m,) site ids        z: (n,) or (n,2) broadcast values
-#   zr: (m,k,c) randomized neighbor draws of the PRIMARY permuted variable
-#   w: (m,c) zero-padded neighbor weights   self_w: (m,)
-# For bivariate kernels, z carries both columns; zr holds draws of the
-# permuted column.
+# Each kernel: (i, z, lf, self_w, scaling) -> (m, k) simulated statistics
+#   i: (m,) site ids    z: (n,) or (n, v) broadcast values
+#   lf: _LagFactory     self_w: (m,)
 
 
-def _k_moran_local(i, z, zr, w, self_w, scaling):
+def _k_moran_local(i, z, lf, self_w, scaling):
     # reference _moran_local_crand (moran.py:3073-3078)
     zi = z[i]
-    lag = np.einsum("mkc,mc->mk", zr, w)
-    return zi[:, None] * (lag + (self_w * zi)[:, None]) * scaling
+    return zi[:, None] * (lf.lag(z) + (self_w * zi)[:, None]) * scaling
 
 
-def _k_moran_local_bv(i, z, zr, w, self_w, scaling):
+def _k_moran_local_bv(i, z, lf, self_w, scaling):
     # reference _moran_local_bv_crand (moran.py:3063-3070); permutes zy only
     zx, zy = z[:, 0], z[:, 1]
-    lag = np.einsum("mkc,mc->mk", zr, w)
-    return zx[i][:, None] * (lag + (self_w * zy[i])[:, None]) * scaling
+    return zx[i][:, None] * (lf.lag(zy) + (self_w * zy[i])[:, None]) * scaling
 
 
-def _k_geary_local(i, z, zr, w, self_w, scaling):
-    # reference _local_geary (geary_local.py:221-225); no self term
-    zi = z[i][:, None, None]
-    return np.einsum("mkc,mc->mk", (zi - zr) ** 2, w)
+def _k_geary_local(i, z, lf, self_w, scaling):
+    # reference _local_geary (geary_local.py:221-225):
+    # (zi - zr)^2 @ w = zi^2*rowsum - 2*zi*lag(z) + lag(z^2)
+    zi = z[i]
+    return (
+        (zi * zi * lf.rowsum)[:, None]
+        - 2.0 * zi[:, None] * lf.lag(z)
+        + lf.lag(z * z)
+    )
 
 
-def _k_g_local(i, z, zr, w, self_w, scaling):
+def _k_g_local(i, z, lf, self_w, scaling):
     # reference _g_local_crand (getisord.py:570-574); scaling = y.sum()
-    lag = np.einsum("mkc,mc->mk", zr, w)
-    return lag / (scaling - z[i])[:, None]
+    return lf.lag(z) / (scaling - z[i])[:, None]
 
 
-def _k_g_local_star(i, z, zr, w, self_w, scaling):
+def _k_g_local_star(i, z, lf, self_w, scaling):
     # reference _g_local_star_crand (getisord.py:577-582)
-    lag = np.einsum("mkc,mc->mk", zr, w)
-    return (lag + (self_w * z[i])[:, None]) / scaling
+    return (lf.lag(z) + (self_w * z[i])[:, None]) / scaling
 
 
-def _k_ljc_uni(i, z, zr, w, self_w, scaling):
+def _k_ljc_uni(i, z, lf, self_w, scaling):
     # reference _ljc_uni (join_counts_local.py:214-219)
-    lag = np.einsum("mkc,mc->mk", zr, w)
-    return z[i][:, None] * lag
+    return z[i][:, None] * lf.lag(z)
 
 
-def _k_ljc_bv_case1(i, z, zr, w, self_w, scaling):
+def _k_ljc_bv_case1(i, z, lf, self_w, scaling):
     # reference _ljc_bv_case1 (join_counts_local_bv.py:294-300):
     # x_i * (z_rand @ w), permuting only the second (z) column
-    xv = z[:, 0]
-    lag = np.einsum("mkc,mc->mk", zr, w)
-    return xv[i][:, None] * lag
+    return z[:, 0][i][:, None] * lf.lag(z[:, 1])
 
 
-def _k_ljc_bv_case2(i, z, zr, w, self_w, scaling):
+def _k_ljc_bv_case2(i, z, lf, self_w, scaling):
     # reference _ljc_bv_case2 (join_counts_local_bv.py:303-306):
-    # z_i * ((x_rand * z_rand) @ w), joint draws of both columns
-    zy = z[:, 1]
-    prod = zr[..., 0] * zr[..., 1]
-    lag = np.einsum("mkc,mc->mk", prod, w)
-    return zy[i][:, None] * lag
+    # z_i * ((x_rand * z_rand) @ w) — joint draws share indices, so the
+    # product column permutes as one vector
+    return z[:, 1][i][:, None] * lf.lag(z[:, 0] * z[:, 1])
 
 
-def _k_lee_local(i, z, zr, w, self_w, scaling):
-    # reference Spatial_Pearson_Local.fit loop (lee.py:213-231): product of
-    # the two randomized lags on row-standardized W; z columns are centered,
-    # zr carries draws of BOTH columns stacked on the last axis: here we
-    # receive zr for column 0 and recompute column 1 draws from the same ids
-    # — handled by the bivariate driver path (zr has shape (m,k,c,2)).
-    lx = np.einsum("mkcd,mc->mkd", zr, w)  # (m,k,2)
-    return lx[..., 0] * lx[..., 1] * (scaling if scaling else 1.0)
+def _k_lee_local(i, z, lf, self_w, scaling):
+    # reference Spatial_Pearson_Local.fit loop (lee.py:213-231)
+    return lf.lag(z[:, 0]) * lf.lag(z[:, 1]) * (scaling if scaling else 1.0)
 
 
-def _k_geary_local_mv(i, z, zr, w, self_w, scaling):
-    # reference geary_local_mv.py:199-211: joint draws of all k
-    # variables, (1/k) sum_v (z_vi - zrand_v)^2 @ w
+def _k_geary_local_mv(i, z, lf, self_w, scaling):
+    # reference geary_local_mv.py:199-211: joint draws of all variables
     nv = z.shape[1]
-    zi = z[i][:, None, None, :]
-    diff2 = (zi - zr) ** 2
-    return np.einsum("mkcv,mc->mk", diff2, w) / nv
+    out = None
+    for v in range(nv):
+        zv = z[:, v]
+        zi = zv[i]
+        term = (
+            (zi * zi * lf.rowsum)[:, None]
+            - 2.0 * zi[:, None] * lf.lag(zv)
+            + lf.lag(zv * zv)
+        )
+        out = term if out is None else out + term
+    return out / nv
 
 
 KERNELS = {
-    "moran_local": (_k_moran_local, "uni"),
-    "moran_local_bv": (_k_moran_local_bv, "bv_permute_y"),
-    "geary_local": (_k_geary_local, "uni"),
-    "g_local": (_k_g_local, "uni"),
-    "g_local_star": (_k_g_local_star, "uni"),
-    "ljc_uni": (_k_ljc_uni, "uni"),
-    "ljc_bv_case1": (_k_ljc_bv_case1, "bv_permute_y"),
-    "ljc_bv_case2": (_k_ljc_bv_case2, "bv_joint"),
-    "lee_local": (_k_lee_local, "bv_joint"),
-    "geary_local_mv": (_k_geary_local_mv, "bv_joint"),
+    "moran_local": _k_moran_local,
+    "moran_local_bv": _k_moran_local_bv,
+    "geary_local": _k_geary_local,
+    "g_local": _k_g_local,
+    "g_local_star": _k_g_local_star,
+    "ljc_uni": _k_ljc_uni,
+    "ljc_bv_case1": _k_ljc_bv_case1,
+    "ljc_bv_case2": _k_ljc_bv_case2,
+    "lee_local": _k_lee_local,
+    "geary_local_mv": _k_geary_local_mv,
 }
 
 
@@ -166,12 +187,12 @@ def conditional_randomization(
 ) -> DataFrame:
     """Per-site pseudo p-values under conditional permutation.
 
-    values:   (id, z) or (id, zx, zy) with dense ids 0..n-1
+    values:   (id, z) or (id, zx, zy, ...) with dense ids 0..n-1
     edges:    transformed weight edges; self-loops become self-weights
     observed: (id, observed) — the statistic being tested
     Returns (id, p_sim [, sims array<double>]).
     """
-    kernel, mode = KERNELS[stat_func]
+    kernel = KERNELS[stat_func]
     spark = values.sparkSession
     sc = spark.sparkContext
 
@@ -213,6 +234,7 @@ def conditional_randomization(
         )
         .withColumnRenamed("focal", "id")
     )
+    parallelism = max(sc.defaultParallelism, 8)
     base = (
         observed.join(gathered, "id", "left")
         .join(selfw, "id", "left")
@@ -221,11 +243,12 @@ def conditional_randomization(
             F.coalesce("wlist", F.array()).alias("wlist"),
             F.coalesce("self_weight", F.lit(0.0)).alias("self_weight"),
         )
+        .repartition(parallelism)  # the kernel is CPU-bound: spread it
     )
 
     out_schema = "id long, p_sim double" + (", sims array<double>" if keep else "")
     kw = dict(
-        mode=mode, scaling=float(scaling), island_weight=float(island_weight),
+        scaling=float(scaling), island_weight=float(island_weight),
         alternative=alternative, keep=keep, permutations=permutations,
     )
 
@@ -259,19 +282,12 @@ def conditional_randomization(
                 sel = order[pos:pos + m_chunk]
                 c_max = int(cards[sel].max())
                 pos += len(sel)
-                Pc = P[:, :c_max]  # (k, c)
                 i_sel = ids[sel]
-                idx = Pc[None, :, :] + (Pc[None, :, :] >= i_sel[:, None, None])
                 wpad = np.zeros((len(sel), c_max))
                 for r, s in enumerate(sel):
                     wpad[r, : cards[s]] = wl[s][:c_max]
-                if kw["mode"] == "uni":
-                    zr = z[idx] if z.ndim == 1 else z[:, 0][idx]
-                elif kw["mode"] == "bv_permute_y":
-                    zr = z[:, 1][idx]
-                else:  # bv_joint: draw both columns with the same ids
-                    zr = z[idx]  # (m,k,c,2)
-                sims = kernel(i_sel, z, zr, wpad, selfws[sel], kw["scaling"])
+                lf = _LagFactory(P[:, :c_max], i_sel, wpad)
+                sims = kernel(i_sel, z, lf, selfws[sel], kw["scaling"])
                 p_out[sel] = permutation_significance(
                     obs[sel], sims, kw["alternative"]
                 )

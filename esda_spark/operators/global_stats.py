@@ -606,3 +606,27 @@ def moran_rate(
         rated, edges, value_col="_ar",
         transformation=transformation, permutations=permutations, seed=seed,
     )
+
+
+def moran_bv_matrix(
+    points: DataFrame,
+    edges: DataFrame,
+    value_cols: list[str],
+    permutations: int = 0,
+    seed: int = 12345,
+) -> dict[tuple[int, int], dict]:
+    """All ordered pairs of variables -> Moran_BV results
+    (reference ``moran.py:717-811``)."""
+    out: dict[tuple[int, int], dict] = {}
+    k = len(value_cols)
+    for i in range(k):
+        for j in range(i + 1, k):
+            out[(i, j)] = moran_bv(
+                points, edges, value_cols[i], value_cols[j],
+                permutations=permutations, seed=seed,
+            )
+            out[(j, i)] = moran_bv(
+                points, edges, value_cols[j], value_cols[i],
+                permutations=permutations, seed=seed,
+            )
+    return out

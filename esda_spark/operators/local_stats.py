@@ -686,3 +686,31 @@ def moran_local_conditional(
         )
         base = base.join(pdf, "id", "left")
     return base
+
+
+# ---------------------------------------------------------------------------
+# LocalCrossPlot composite diagnostic (inspection.py:8-255): fits LOSH,
+# Moran_Local and G_Local together over the same weights
+# ---------------------------------------------------------------------------
+
+def local_crossplot(
+    points: DataFrame,
+    edges: DataFrame,
+    value_col: str = "y_cont",
+    permutations: int = 999,
+    seed: int = 12345,
+) -> DataFrame:
+    """(id, Is, q, p_sim_moran, Gs, Zs, p_sim_g, Hi, losh_pval):
+    thin composition of L1 + L6 + L11 on row-standardized weights."""
+    w = transform_weights(edges, "R")
+    m = moran_local(
+        points, edges, value_col, permutations=permutations, seed=seed
+    ).select("id", "Is", "q", F.col("p_sim").alias("p_sim_moran"))
+    g = g_local(
+        points, edges, value_col, star=True, transform="R",
+        permutations=permutations, seed=seed,
+    ).select("id", "Gs", "Zs", F.col("p_sim").alias("p_sim_g"))
+    h = losh(points, w, value_col).select(
+        "id", "Hi", F.col("pval").alias("losh_pval")
+    )
+    return m.join(g, "id").join(h, "id")

@@ -140,8 +140,10 @@ def knn_join(
         settled = stats.where(
             ((F.col("cnt") >= k) & (F.col("d2max") < F.lit(guard))) | F.lit(done)
         ).select("lid")
-        results.append(topk.join(settled, "lid"))
-        unsettled = unsettled.join(settled, "lid", "left_anti")
+        results.append(topk.join(settled, "lid").localCheckpoint(eager=True))
+        unsettled = unsettled.join(settled, "lid", "left_anti").localCheckpoint(
+            eager=True
+        )
         if done or unsettled.isEmpty():
             break
         radius *= 2

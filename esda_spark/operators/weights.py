@@ -40,7 +40,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from esda_spark.plans.cells import expand_ring, with_cell
+from esda_spark.plans.cells import cell_key, expand_ring, with_cell
 
 EDGE_COLS = ("focal", "neighbor", "weight")
 
@@ -63,21 +63,80 @@ def knn_edges(
     cell_size: float | None = None,
     binary: bool = True,
     max_rounds: int = 12,
+    density_threshold: int | None = None,
+    max_levels: int = 12,
 ) -> DataFrame:
-    """Exact kNN edges (Euclidean, tie-broken by neighbor id).
+    """Exact kNN edges (Euclidean, tie-broken by neighbor id), with
+    density-adaptive resolution for skewed (hot-cell) data.
 
-    Doubling-ring settlement: a focal is settled once it has >= k
-    candidates whose k-th squared distance is strictly inside the
-    guaranteed-covered radius ``R * cell_size``; unsettled focals
-    (sparse-region stragglers — typically a tiny fraction) retry with
-    a doubled ring.  Each round joins only the unsettled remainder, so
-    the expensive first round dominates and later rounds are small
-    broadcastable sides.
+    Skew handling (the north rule's explicit requirement): a
+    quadtree-style pass halves the cell size for points whose cell
+    holds more than ``density_threshold`` points, repeatedly, so a
+    5000-point city cell is processed at a resolution where its ring
+    holds ~2k candidates instead of 25M candidate pairs.  Each density
+    class then runs the doubling-ring settlement at its own cell size
+    against the full point set re-indexed at that size — results stay
+    exact; only candidate generation adapts.
     """
+    base = points.select("id", "x", "y")
     if cell_size is None:
         cell_size = _estimate_cell_size(points, k)
-    pts = with_cell(points.select("id", "x", "y"), cell_size)
-    targets = pts.select(
+    if density_threshold is None:
+        density_threshold = max(4 * k, 32)
+
+    # --- density-level assignment (quadtree split of hot cells) ---
+    # localCheckpoint per level truncates the lineage: without it the
+    # iterative splits + per-round self-joins compound into a plan tree
+    # whose optimization/stringification dominates the wall clock.
+    levels: list[tuple[int, DataFrame]] = []
+    remaining = base
+    for lvl in range(max_levels):
+        s = cell_size / (2**lvl)
+        keyed = remaining.withColumn(
+            "_c", cell_key(F.col("x"), F.col("y"), s)
+        )
+        counts = keyed.groupBy("_c").count()
+        keyed = keyed.join(counts, "_c").localCheckpoint(eager=True)
+        sparse = keyed.where(F.col("count") <= density_threshold).select(
+            "id", "x", "y"
+        )
+        dense = keyed.where(F.col("count") > density_threshold).select(
+            "id", "x", "y"
+        )
+        n_sparse = sparse.count()
+        if n_sparse:
+            levels.append((lvl, sparse))
+        if dense.isEmpty():
+            remaining = None
+            break
+        remaining = dense
+    if remaining is not None:
+        levels.append((max_levels, remaining))
+
+    parts = [
+        _knn_rounds(focals, base, k, cell_size / (2**lvl), binary, max_rounds)
+        for lvl, focals in levels
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _knn_rounds(
+    focals: DataFrame,
+    all_points: DataFrame,
+    k: int,
+    cell_size: float,
+    binary: bool,
+    max_rounds: int,
+) -> DataFrame:
+    """Doubling-ring settlement at one resolution: a focal is settled
+    once it has >= k candidates whose k-th squared distance is strictly
+    inside the guaranteed-covered radius ``R * cell_size``; stragglers
+    retry with a quadrupled ring (a small, shrinking side)."""
+    pts = with_cell(focals.select("id", "x", "y"), cell_size)
+    targets = with_cell(all_points, cell_size).select(
         F.col("id").alias("neighbor"),
         F.col("x").alias("nx"),
         F.col("y").alias("ny"),
@@ -87,19 +146,26 @@ def knn_edges(
     results: list[DataFrame] = []
     radius = 1
     for _ in range(max_rounds):
-        cand = (
-            expand_ring(unsettled.withColumnRenamed("cell", "cell0"), radius)
-            .join(targets, "cell")
-            .where(F.col("id") != F.col("neighbor"))
-        )
+        guard = float(radius * cell_size) ** 2
+        world_covered = radius * cell_size > 400.0
         dx = F.col("x") - F.col("nx")
         dy = F.col("y") - F.col("ny")
+        if world_covered:
+            # stragglers: brute-force the (tiny, broadcast) remainder
+            # instead of exploding a world-sized ring of cells
+            cand = F.broadcast(unsettled.drop("cell")).crossJoin(
+                targets.drop("cell")
+            ).where(F.col("id") != F.col("neighbor"))
+        else:
+            cand = (
+                expand_ring(unsettled.withColumnRenamed("cell", "cell0"), radius)
+                .join(targets, "cell")
+                .where(F.col("id") != F.col("neighbor"))
+            )
         cand = cand.select(
             "id", "neighbor", (dx * dx + dy * dy).alias("d2")
         )
         win = Window.partitionBy("id").orderBy("d2", "neighbor")
-        guard = float(radius * cell_size) ** 2
-        world_covered = radius * cell_size > 400.0
         # one shuffle: rank per focal, keep top-k, tag settled focals via
         # a window max over the kept rows — no separate stats job
         topk = (
@@ -113,7 +179,7 @@ def knn_edges(
                     & (F.max("d2").over(Window.partitionBy("id")) < F.lit(guard))
                 ),
             )
-        ).cache()
+        ).localCheckpoint(eager=True)  # truncate per-round lineage
         edges = topk.where(F.col("_settled")).select(
             F.col("id").alias("focal"),
             "neighbor",
@@ -131,7 +197,9 @@ def knn_edges(
         n_remaining = remaining_ids.count()
         if world_covered or n_remaining == 0:
             break
-        unsettled = unsettled.join(remaining_ids.distinct(), "id", "left_semi")
+        unsettled = unsettled.join(
+            remaining_ids.distinct(), "id", "left_semi"
+        ).localCheckpoint(eager=True)
         radius *= 4
     out = results[0]
     for r in results[1:]:
