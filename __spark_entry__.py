@@ -318,6 +318,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = tx.lsh_candidate_pairs(sig, num_hashes=8, bands=4)
         return _round(tx.ngram_jaccard_pairs(docs, pairs), ["jaccard"], 9)
 
+    def geary_local_mv_observed(spark, sf):
+        res = lstats.geary_local_mv(
+            _points(spark, sf),
+            transform_weights(_edges(spark, sf), "R"),
+            ["y_cont", "e"], permutations=0,
+        )
+        return _round(res.select("id", "localG"), ["localG"])
+
+    def knn_join_q(spark, sf):
+        from esda_spark.operators.spatial_join import knn_join
+
+        left = _points(spark, sf)
+        right = _points(spark, sf, "supplier")
+        return knn_join(left, right, k=3, cell_size=15.0).select(
+            F.col("left_id"), F.col("right_id"), F.col("rank")
+        )
+
+    def overlay_areas_grids(spark, sf):
+        from esda_spark.operators.spatial_join import overlay_areas
+
+        a = grid_tiling(spark, 3, (-180.0, -90.0, 180.0, 90.0))
+        b = grid_tiling(spark, 5, (-180.0, -90.0, 180.0, 90.0))
+        return _round(overlay_areas(a, b, 60.0), ["area"], 6)
+
+    def spatial_eb_oracle(spark, sf):
+        return _round(
+            rt.spatial_empirical_bayes(
+                _points(spark, sf), _edges(spark, sf), out_col="seb"
+            ).select("id", "seb"),
+            ["seb"], 9,
+        )
+
+    def shape_stats_rotated(spark, sf):
+        from esda_spark.operators.shape import shape_stats
+
+        polys = rotated_tiling(spark, 6, (0.0, 0.0, 60.0, 60.0), theta=0.4)
+        res = shape_stats(polys).select(
+            "poly_id", "area", "perimeter", "isoperimetric_quotient",
+            "rectangularity", "convex_hull_ratio",
+        )
+        return _round(
+            res,
+            ["area", "perimeter", "isoperimetric_quotient",
+             "rectangularity", "convex_hull_ratio"],
+        )
+
+    def correlogram_moran(spark, sf):
+        from esda_spark.operators.correlogram import correlogram
+
+        res = correlogram(
+            _points(spark, sf), "y_cont", [15.0, 30.0], "moran",
+            cell_size=15.0,
+        )
+        rows = [
+            (float(r["support"]), round(float(r["I"]), ND)) for r in res
+        ]
+        return spark.createDataFrame(rows, "support double, I double")
+
     # ---- non-SQL-expressible (conditional permutation / ANN) ----
 
     def lisa_full(spark, sf):
@@ -365,14 +423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank"
         )
 
-    def spatial_eb_rate(spark, sf):
-        return _round(
-            rt.spatial_empirical_bayes(
-                _points(spark, sf), _edges(spark, sf), out_col="seb"
-            ).select("id", "seb"),
-            ["seb"], 9,
-        )
-
     def spatial_median_rate_q(spark, sf):
         return _round(
             rt.spatial_median_rate(
@@ -412,6 +462,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": token_counts_q,
         "fingerprint": fingerprint_q,
         "ngram_jaccard": ngram_jaccard_q,
+        "geary_local_mv_observed": geary_local_mv_observed,
+        "knn_join": knn_join_q,
+        "overlay_areas_grids": overlay_areas_grids,
+        "spatial_eb": spatial_eb_oracle,
+        "shape_stats_rotated": shape_stats_rotated,
+        "correlogram_moran": correlogram_moran,
         # non-oracle (seeded permutation / ANN) — rows-only checks
         "lisa_full": lisa_full,
         "g_local_star_sim": g_local_star_sim,
@@ -419,7 +475,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_global_perm": moran_global_perm,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
-        "spatial_eb_rate": spatial_eb_rate,
         "spatial_median_rate": spatial_median_rate_q,
     }
 
@@ -949,6 +1004,140 @@ SELECT doc_id,
     (acc, x) -> (acc * 31 + x) % 1073741824
   ) AS fp
 FROM documents
+"""
+
+    sql["geary_local_mv_observed"] = _with(P, E, W) + f"""
+, ms AS (SELECT avg(y_cont) AS m1, stddev_pop(y_cont) AS s1v,
+                avg(e) AS m2, stddev_pop(e) AS s2v FROM pts)
+, zt AS (SELECT id, (y_cont - ms.m1)/ms.s1v AS z1,
+                (e - ms.m2)/ms.s2v AS z2 FROM pts, ms)
+, g AS (
+  SELECT w.focal AS id,
+         sum(w.weight * ((zf.z1 - zn.z1)*(zf.z1 - zn.z1)
+                         + (zf.z2 - zn.z2)*(zf.z2 - zn.z2))) / 2.0 AS localG
+  FROM w JOIN zt zf ON zf.id = w.focal JOIN zt zn ON zn.id = w.neighbor
+  GROUP BY 1
+)
+SELECT p.id, round(coalesce(g.localG, 0.0), {ND}) AS localG
+FROM pts p LEFT JOIN g ON g.id = p.id
+"""
+
+    sql["knn_join"] = (
+        f"WITH {_pts_cte('customer')}, rp AS ({points_sql('supplier')})"
+        + """
+SELECT left_id, right_id, rank FROM (
+  SELECT a.id AS left_id, b.id AS right_id,
+         row_number() OVER (
+           PARTITION BY a.id
+           ORDER BY (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y), b.id
+         ) AS rank
+  FROM pts a JOIN rp b ON 1=1
+) WHERE rank <= 3
+"""
+    )
+
+    sql["overlay_areas_grids"] = """
+WITH a AS (
+  SELECT CAST(i AS BIGINT) AS a_id,
+         -180.0 + (i % 3) * 120.0 AS x0, -180.0 + (i % 3 + 1) * 120.0 AS x1,
+         -90.0 + (i // 3) * 60.0 AS y0, -90.0 + (i // 3 + 1) * 60.0 AS y1
+  FROM (SELECT unnest(range(9)) AS i)
+),
+b AS (
+  SELECT CAST(i AS BIGINT) AS b_id,
+         -180.0 + (i % 5) * 72.0 AS x0, -180.0 + (i % 5 + 1) * 72.0 AS x1,
+         -90.0 + (i // 5) * 36.0 AS y0, -90.0 + (i // 5 + 1) * 36.0 AS y1
+  FROM (SELECT unnest(range(25)) AS i)
+)
+SELECT a_id, b_id, round(
+  greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0)
+  * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0), 6) AS area
+FROM a, b
+WHERE greatest(least(a.x1, b.x1) - greatest(a.x0, b.x0), 0)
+      * greatest(least(a.y1, b.y1) - greatest(a.y0, b.y0), 0) > 0
+"""
+
+    sql["spatial_eb"] = _with(P, E) + """
+, le AS (SELECT e2.focal AS id, sum(p.e) AS we, sum(p.b) AS wb,
+                count(*) AS card
+         FROM edges e2 JOIN pts p ON p.id = e2.neighbor GROUP BY 1)
+, base AS (
+  SELECT p.id, p.e, p.b, p.e/p.b AS r,
+         (p.e + coalesce(le.we, 0.0)) / (p.b + coalesce(le.wb, 0.0)) AS rm,
+         p.b + coalesce(le.wb, 0.0) AS bi,
+         coalesce(le.card, 0) + 1 AS ngh_num
+  FROM pts p LEFT JOIN le ON le.id = p.id
+)
+, vs AS (
+  SELECT e2.focal AS id,
+         sum(pn.b * (pn.e/pn.b - bf.rm) * (pn.e/pn.b - bf.rm)) AS vsum_n
+  FROM edges e2 JOIN pts pn ON pn.id = e2.neighbor
+                JOIN base bf ON bf.id = e2.focal
+  GROUP BY 1
+)
+SELECT base.id,
+  round(base.rm + (base.r - base.rm) * (
+    greatest((coalesce(vs.vsum_n, 0.0)
+              + base.b * (base.r - base.rm) * (base.r - base.rm)) / base.bi
+             - base.rm / (base.bi / base.ngh_num), 0.0)
+    / (greatest((coalesce(vs.vsum_n, 0.0)
+                 + base.b * (base.r - base.rm) * (base.r - base.rm)) / base.bi
+                - base.rm / (base.bi / base.ngh_num), 0.0)
+       + base.rm / base.b)), 9) AS seb
+FROM base LEFT JOIN vs ON vs.id = base.id
+"""
+
+    # rotated 6x6 tiling of a 60x60 bbox with margin 1.5 -> squares of
+    # side 15: every shape measure is closed-form and rotation-invariant
+    sql["shape_stats_rotated"] = f"""
+SELECT CAST(i AS BIGINT) AS poly_id,
+       round(225.0, {ND}) AS area,
+       round(60.0, {ND}) AS perimeter,
+       round(pi() / 4, {ND}) AS isoperimetric_quotient,
+       round(1.0, {ND}) AS rectangularity,
+       round(1.0, {ND}) AS convex_hull_ratio
+FROM (SELECT unnest(range(36)) AS i)
+"""
+
+    def _moran_band_sql(support: float) -> str:
+        return f"""
+  SELECT CAST({support} AS DOUBLE) AS support,
+         round(ms.n / sv.s0 * it.inum / ms.z2ss, {ND}) AS I
+  FROM
+    (SELECT count(*) AS n,
+            sum((y_cont - (SELECT avg(y_cont) FROM pts))
+                * (y_cont - (SELECT avg(y_cont) FROM pts))) AS z2ss
+     FROM pts) ms,
+    (SELECT sum(weight) AS s0 FROM w{int(support)}) sv,
+    (SELECT sum(zf.z * l.lag) AS inum
+     FROM (SELECT id, y_cont - (SELECT avg(y_cont) FROM pts) AS z
+           FROM pts) zf
+     JOIN (SELECT w.focal AS id, sum(w.weight * zn.z) AS lag
+           FROM w{int(support)} w
+           JOIN (SELECT id, y_cont - (SELECT avg(y_cont) FROM pts) AS z
+                 FROM pts) zn ON zn.id = w.neighbor
+           GROUP BY 1) l ON l.id = zf.id) it
+"""
+
+    sql["correlogram_moran"] = f"WITH {_pts_cte()}" + f"""
+, pairs AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
+  FROM pts a JOIN pts b ON a.id <> b.id
+)
+, w15 AS (
+  SELECT focal, neighbor,
+         1.0 / count(*) OVER (PARTITION BY focal) AS weight
+  FROM pairs WHERE d2 <= 225.0
+)
+, w30 AS (
+  SELECT focal, neighbor,
+         1.0 / count(*) OVER (PARTITION BY focal) AS weight
+  FROM pairs WHERE d2 <= 900.0
+)
+{_moran_band_sql(15.0)}
+UNION ALL
+{_moran_band_sql(30.0)}
 """
 
     return sql

@@ -116,9 +116,19 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+SCALING_PERMS = int(os.environ.get("SPARK_GRAFT_SCALING_PERMS", "99999"))
+SCALING_TABLE = os.environ.get("SPARK_GRAFT_SCALING_TABLE", "orders")
+
+
 def lisa_throughput(cpus: int, sf_dir: str, perms: int) -> dict:
     """Run flagship LISA in THIS process at a given parallelism; returns
-    docs/sec.  Used by the --scaling subprocess mode."""
+    docs/sec.  Used by the --scaling subprocess mode.
+
+    The scaling job uses the biggest point table (orders: 150k sites at
+    sf0.1) at the reference's own 9999 permutations so kernel compute
+    dominates fixed per-job overhead — the sandbox stand-in for the
+    north rule's N vs 4N cluster sizes.
+    """
     from esda_spark.operators.local_stats import moran_local
     from esda_spark.operators.weights import knn_edges
     from esda_spark.session import get_spark
@@ -128,9 +138,9 @@ def lisa_throughput(cpus: int, sf_dir: str, perms: int) -> dict:
                       shuffle_partitions=max(cpus, 8))
     pts = __import__(
         "esda_spark.sources.points", fromlist=["points_from_table"]
-    ).points_from_table(spark, sf_dir, "customer").cache()
+    ).points_from_table(spark, sf_dir, SCALING_TABLE).cache()
     n = pts.count()
-    edges = knn_edges(pts, k=8, cell_size=8.0).cache()
+    edges = knn_edges(pts, k=8, cell_size=2.0).cache()
     edges.count()
     # warm-up (JIT, code cache) then timed run
     moran_local(pts, edges, "y_cont", permutations=50, seed=1).select(
@@ -147,11 +157,95 @@ def lisa_throughput(cpus: int, sf_dir: str, perms: int) -> dict:
             "site_perms_per_sec": round(n * perms / dt, 0)}
 
 
+def _kernel_task(args):
+    """One simulated executor partition of the crand operator."""
+    import numpy as np
+
+    from esda_spark.operators.crand import crand_partition, vec_permutations
+
+    seed, n, k, card, m = args
+    rng = np.random.default_rng(seed)
+    z = rng.normal(size=n)
+    P = vec_permutations(card, n, k, 12345)
+    ids = np.sort(rng.choice(n, m, replace=False))
+    wl = [np.full(card, 1.0 / card)] * m
+    obs = rng.normal(size=m)
+    t0 = time.perf_counter()
+    crand_partition(
+        ids, obs, np.zeros(m), wl, z, P, "moran_local",
+        scaling=1.0, island_weight=0.0, alternative="directed",
+        keep=False, permutations=k,
+    )
+    return time.perf_counter() - t0
+
+
+def _dgemm_task(seed):
+    import numpy as np
+
+    a = np.random.default_rng(seed).random((300, 300))
+    for _ in range(200):
+        a = a @ a * 1e-30 + a * 0.5
+    return 0
+
+
+def kernel_scaling() -> None:
+    """Isolated compute-kernel scaling (the crand operator partition
+    function, identical code path as the Spark workers) at N vs 4N
+    worker processes, plus the machine's own pure-dgemm ceiling for
+    the same process counts — separates the operator's scalability
+    from this sandbox VM's hardware limits."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    n, k, card = 600_000, int(os.environ.get("SPARK_GRAFT_SCALING_PERMS",
+                                             "9999")), 8
+    out = {}
+    for procs in (2, 8, 32):
+        m = n // procs
+        args = [(i, n, k, card, m) for i in range(procs)]
+        with mp.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            pool.map(_kernel_task, args)
+            wall = time.perf_counter() - t0
+        out[procs] = {"wall": round(wall, 3),
+                      "site_perms_per_sec": round(n * k / wall, 0)}
+
+    ceiling = {}
+    for procs in (2, 8, 32):
+        with mp.Pool(procs) as pool:
+            t0 = time.perf_counter()
+            pool.map(_dgemm_task, range(procs))
+            ceiling[procs] = procs / (time.perf_counter() - t0)
+    eff_2_8 = (
+        out[8]["site_perms_per_sec"] / (4.0 * out[2]["site_perms_per_sec"])
+    )
+    eff_8_32 = (
+        out[32]["site_perms_per_sec"] / (4.0 * out[8]["site_perms_per_sec"])
+    )
+    print(json.dumps({
+        "metric": "crand kernel scaling N -> 4N worker processes "
+                  "(identical partition code as Spark workers)",
+        "kernel_2": out[2], "kernel_8": out[8], "kernel_32": out[32],
+        "efficiency_2_to_8": round(eff_2_8, 3),
+        "efficiency_8_to_32": round(eff_8_32, 3),
+        "hardware_dgemm_efficiency_2_to_8": round(
+            ceiling[8] / (4.0 * ceiling[2]), 3),
+        "hardware_dgemm_efficiency_8_to_32": round(
+            ceiling[32] / (4.0 * ceiling[8]), 3),
+        "n": n, "permutations": k,
+    }))
+
+
 def main() -> None:
+    if "--kernel-scaling" in sys.argv:
+        os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+        kernel_scaling()
+        return
     if "--scaling" in sys.argv:
         if "--scaling-child" in sys.argv:
             cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
-            print(json.dumps(lisa_throughput(cpus, SF_DIR, PERMS)))
+            print(json.dumps(lisa_throughput(cpus, SF_DIR, SCALING_PERMS)))
             return
         results = {}
         for cpus in (8, 32):
@@ -170,7 +264,8 @@ def main() -> None:
             "throughput_8": t8, "throughput_32": t32,
             "sec_8": results[8]["sec"], "sec_32": results[32]["sec"],
             "scaling_efficiency": round(eff, 3),
-            "sf": _sf_label(SF_DIR), "permutations": PERMS,
+            "sf": _sf_label(SF_DIR), "permutations": SCALING_PERMS,
+            "table": SCALING_TABLE,
         }))
         return
 

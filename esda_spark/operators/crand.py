@@ -46,120 +46,108 @@ from pyspark.sql import functions as F
 
 from esda_spark.operators.significance import permutation_significance
 
-# Element budget for the (m, k, c) boolean block per vectorized chunk.
+# Site-chunk budget (m*k) and rep-block width for the streaming path;
+# the rep block keeps per-segment working sets cache-resident, which is
+# what makes the kernel scale with cores instead of RAM bandwidth.
 _CHUNK_ELEMS = 8_000_000
-
-
-class _LagFactory:
-    """Per-chunk helper: masked-draw lag matrices for any value vector.
-
-    For sites ``i`` (m,), shared draw table ``P`` (k, c), padded weights
-    ``w`` (m, c):  lag(v)[i, k] = sum_c w[i,c] * v_no_i[P[k,c]].
-    """
-
-    def __init__(self, P: np.ndarray, i_sel: np.ndarray, w: np.ndarray):
-        self.P = P
-        self.w = w
-        self.b = P[None, :, :] >= i_sel[:, None, None]
-        self.rowsum = w.sum(axis=1)
-
-    def lag(self, v: np.ndarray) -> np.ndarray:
-        vlo = v[self.P]
-        dv = v[self.P + 1] - vlo
-        return self.w @ vlo.T + np.einsum(
-            "mkc,kc,mc->mk", self.b, dv, self.w
-        )
+_REP_BLOCK = 2048
 
 
 # --- stat kernels -----------------------------------------------------------
-# Each kernel: (i, z, lf, self_w, scaling) -> (m, k) simulated statistics
-#   i: (m,) site ids    z: (n,) or (n, v) broadcast values
-#   lf: _LagFactory     self_w: (m,)
+# A kernel = (vectors, sims) where
+#   vectors(z) -> list of (n,) value vectors whose masked-draw lag the
+#                 statistic needs (z, z^2, products, ...)
+#   sims(i, z, lags, self_w, scaling, rowsum) -> (m_blk, k) simulations
+#                 from the per-block lag matrices (same order as vectors)
 
 
-def _k_moran_local(i, z, lf, self_w, scaling):
+def _vec_uni(z):
+    return [z if z.ndim == 1 else z[:, 0]]
+
+
+def _k_moran_local(i, z, lags, self_w, scaling, rowsum):
     # reference _moran_local_crand (moran.py:3073-3078)
     zi = z[i]
-    return zi[:, None] * (lf.lag(z) + (self_w * zi)[:, None]) * scaling
+    return zi[:, None] * (lags[0] + (self_w * zi)[:, None]) * scaling
 
 
-def _k_moran_local_bv(i, z, lf, self_w, scaling):
+def _k_moran_local_bv(i, z, lags, self_w, scaling, rowsum):
     # reference _moran_local_bv_crand (moran.py:3063-3070); permutes zy only
     zx, zy = z[:, 0], z[:, 1]
-    return zx[i][:, None] * (lf.lag(zy) + (self_w * zy[i])[:, None]) * scaling
+    return zx[i][:, None] * (lags[0] + (self_w * zy[i])[:, None]) * scaling
 
 
-def _k_geary_local(i, z, lf, self_w, scaling):
+def _k_geary_local(i, z, lags, self_w, scaling, rowsum):
     # reference _local_geary (geary_local.py:221-225):
     # (zi - zr)^2 @ w = zi^2*rowsum - 2*zi*lag(z) + lag(z^2)
     zi = z[i]
-    return (
-        (zi * zi * lf.rowsum)[:, None]
-        - 2.0 * zi[:, None] * lf.lag(z)
-        + lf.lag(z * z)
-    )
+    return (zi * zi * rowsum)[:, None] - 2.0 * zi[:, None] * lags[0] + lags[1]
 
 
-def _k_g_local(i, z, lf, self_w, scaling):
+def _k_g_local(i, z, lags, self_w, scaling, rowsum):
     # reference _g_local_crand (getisord.py:570-574); scaling = y.sum()
-    return lf.lag(z) / (scaling - z[i])[:, None]
+    return lags[0] / (scaling - z[i])[:, None]
 
 
-def _k_g_local_star(i, z, lf, self_w, scaling):
+def _k_g_local_star(i, z, lags, self_w, scaling, rowsum):
     # reference _g_local_star_crand (getisord.py:577-582)
-    return (lf.lag(z) + (self_w * z[i])[:, None]) / scaling
+    return (lags[0] + (self_w * z[i])[:, None]) / scaling
 
 
-def _k_ljc_uni(i, z, lf, self_w, scaling):
+def _k_ljc_uni(i, z, lags, self_w, scaling, rowsum):
     # reference _ljc_uni (join_counts_local.py:214-219)
-    return z[i][:, None] * lf.lag(z)
+    return z[i][:, None] * lags[0]
 
 
-def _k_ljc_bv_case1(i, z, lf, self_w, scaling):
-    # reference _ljc_bv_case1 (join_counts_local_bv.py:294-300):
-    # x_i * (z_rand @ w), permuting only the second (z) column
-    return z[:, 0][i][:, None] * lf.lag(z[:, 1])
+def _k_ljc_bv_case1(i, z, lags, self_w, scaling, rowsum):
+    # reference _ljc_bv_case1 (join_counts_local_bv.py:294-300)
+    return z[:, 0][i][:, None] * lags[0]
 
 
-def _k_ljc_bv_case2(i, z, lf, self_w, scaling):
-    # reference _ljc_bv_case2 (join_counts_local_bv.py:303-306):
-    # z_i * ((x_rand * z_rand) @ w) — joint draws share indices, so the
-    # product column permutes as one vector
-    return z[:, 1][i][:, None] * lf.lag(z[:, 0] * z[:, 1])
+def _k_ljc_bv_case2(i, z, lags, self_w, scaling, rowsum):
+    # reference _ljc_bv_case2 (join_counts_local_bv.py:303-306): joint
+    # draws share indices, so the product column permutes as one vector
+    return z[:, 1][i][:, None] * lags[0]
 
 
-def _k_lee_local(i, z, lf, self_w, scaling):
+def _k_lee_local(i, z, lags, self_w, scaling, rowsum):
     # reference Spatial_Pearson_Local.fit loop (lee.py:213-231)
-    return lf.lag(z[:, 0]) * lf.lag(z[:, 1]) * (scaling if scaling else 1.0)
+    return lags[0] * lags[1] * (scaling if scaling else 1.0)
 
 
-def _k_geary_local_mv(i, z, lf, self_w, scaling):
+def _k_geary_local_mv(i, z, lags, self_w, scaling, rowsum):
     # reference geary_local_mv.py:199-211: joint draws of all variables
     nv = z.shape[1]
     out = None
     for v in range(nv):
-        zv = z[:, v]
-        zi = zv[i]
+        zi = z[:, v][i]
         term = (
-            (zi * zi * lf.rowsum)[:, None]
-            - 2.0 * zi[:, None] * lf.lag(zv)
-            + lf.lag(zv * zv)
+            (zi * zi * rowsum)[:, None]
+            - 2.0 * zi[:, None] * lags[2 * v]
+            + lags[2 * v + 1]
         )
         out = term if out is None else out + term
     return out / nv
 
 
 KERNELS = {
-    "moran_local": _k_moran_local,
-    "moran_local_bv": _k_moran_local_bv,
-    "geary_local": _k_geary_local,
-    "g_local": _k_g_local,
-    "g_local_star": _k_g_local_star,
-    "ljc_uni": _k_ljc_uni,
-    "ljc_bv_case1": _k_ljc_bv_case1,
-    "ljc_bv_case2": _k_ljc_bv_case2,
-    "lee_local": _k_lee_local,
-    "geary_local_mv": _k_geary_local_mv,
+    "moran_local": (_vec_uni, _k_moran_local),
+    "moran_local_bv": (lambda z: [z[:, 1]], _k_moran_local_bv),
+    "geary_local": (lambda z: [z, z * z], _k_geary_local),
+    "g_local": (_vec_uni, _k_g_local),
+    "g_local_star": (_vec_uni, _k_g_local_star),
+    "ljc_uni": (_vec_uni, _k_ljc_uni),
+    "ljc_bv_case1": (lambda z: [z[:, 1]], _k_ljc_bv_case1),
+    "ljc_bv_case2": (lambda z: [z[:, 0] * z[:, 1]], _k_ljc_bv_case2),
+    # generic "site constant times permuted lag" — partial MV local Moran
+    # components (moran_local_mv.py:213-257) share this shape
+    "left_times_lag": (lambda z: [z[:, 1]], _k_ljc_bv_case1),
+    "lee_local": (lambda z: [z[:, 0], z[:, 1]], _k_lee_local),
+    "geary_local_mv": (
+        lambda z: [f(z[:, v]) for v in range(z.shape[1])
+                   for f in (lambda a: a, lambda a: a * a)],
+        _k_geary_local_mv,
+    ),
 }
 
 
@@ -197,11 +185,13 @@ def conditional_randomization(
     sc = spark.sparkContext
 
     zcols = [c for c in values.columns if c != "id"]
-    pdf = values.orderBy("id").toPandas()
+    pdf = values.toPandas()  # unsorted collect; sort driver-side (cheap)
     n = len(pdf)
-    if not (pdf["id"].values == np.arange(n)).all():
+    ids_np = pdf["id"].to_numpy(np.int64)
+    order_np = np.argsort(ids_np, kind="stable")
+    if not (ids_np[order_np] == np.arange(n)).all():
         raise ValueError("conditional_randomization requires dense ids 0..n-1")
-    z_np = pdf[zcols].to_numpy(dtype=np.float64)
+    z_np = pdf[zcols].to_numpy(dtype=np.float64)[order_np]
     if z_np.shape[1] == 1:
         z_np = z_np[:, 0]
 
@@ -250,12 +240,12 @@ def conditional_randomization(
     kw = dict(
         scaling=float(scaling), island_weight=float(island_weight),
         alternative=alternative, keep=keep, permutations=permutations,
+        stat_func=stat_func,
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         z = z_bc.value
-        P = perm_bc.value
-        k = kw["permutations"]
+        P_full = perm_bc.value
         for pdf_b in batches:
             m_all = len(pdf_b)
             if m_all == 0:
@@ -264,39 +254,162 @@ def conditional_randomization(
             obs = pdf_b["observed"].to_numpy(np.float64)
             selfws = pdf_b["self_weight"].to_numpy(np.float64)
             wl = pdf_b["wlist"].tolist()
-            cards = np.array([len(wi) for wi in wl], dtype=np.int64)
-            # islands: single fake neighbor at island_weight (crand.py:333-339)
-            wl = [
-                np.asarray(wi, dtype=np.float64)
-                if len(wi) else np.array([kw["island_weight"]])
-                for wi in wl
-            ]
-            cards = np.maximum(cards, 1)
-            p_out = np.empty(m_all, dtype=np.float64)
-            sims_out = [None] * m_all if kw["keep"] else None
-            order = np.argsort(cards, kind="stable")
-            pos = 0
-            while pos < m_all:
-                c_max = int(cards[order[min(pos, m_all - 1)]])
-                m_chunk = max(1, _CHUNK_ELEMS // max(k * c_max, 1))
-                sel = order[pos:pos + m_chunk]
-                c_max = int(cards[sel].max())
-                pos += len(sel)
-                i_sel = ids[sel]
-                wpad = np.zeros((len(sel), c_max))
-                for r, s in enumerate(sel):
-                    wpad[r, : cards[s]] = wl[s][:c_max]
-                lf = _LagFactory(P[:, :c_max], i_sel, wpad)
-                sims = kernel(i_sel, z, lf, selfws[sel], kw["scaling"])
-                p_out[sel] = permutation_significance(
-                    obs[sel], sims, kw["alternative"]
-                )
-                if kw["keep"]:
-                    for r, s in enumerate(sel):
-                        sims_out[s] = sims[r].tolist()
+            p_out, sims_out = crand_partition(
+                ids, obs, selfws, wl, z, P_full, **kw
+            )
             res = {"id": ids, "p_sim": p_out}
             if kw["keep"]:
                 res["sims"] = sims_out
             yield pd.DataFrame(res)
 
     return base.mapInPandas(run, schema=out_schema)
+
+
+def crand_partition(
+    ids: np.ndarray,
+    obs: np.ndarray,
+    selfws: np.ndarray,
+    wl: list,
+    z: np.ndarray,
+    P_full: np.ndarray,
+    stat_func: str,
+    scaling: float,
+    island_weight: float,
+    alternative: str,
+    keep: bool,
+    permutations: int,
+):
+    """One partition's conditional-randomization compute (pure numpy).
+
+    Module-level so the Spark closure and the bench's kernel-scaling
+    harness drive the identical code path.
+    """
+    m_all = len(ids)
+    k = permutations
+    vectors_fn, sims_fn = KERNELS[stat_func]
+    vecs = vectors_fn(z)
+    # counting alternatives stream over rep-blocks with O(m) state;
+    # distribution-shaped alternatives need the full (m, k) sims row
+    streaming = (
+        alternative in ("directed", "greater", "lesser") and not keep
+    )
+    kb_size = _REP_BLOCK if streaming else k
+
+    def sweep_blocks(P, i_sel, wpad, m):
+        """Yield (row_slice, lag_list) over the sorted-site sweep.
+
+        Sites sorted by id make [P >= id] a prefix-of-ones per
+        (rep, slot) pair, so each lag block is one dgemm against a
+        rank-updated (c, k_blk) accumulator — no (m, k, c) arrays.
+        """
+        c_max = P.shape[1]
+        tables = []
+        for v in vecs:
+            vlo = v[P]
+            tables.append((vlo.T, (v[P + 1] - vlo)))
+        t = np.searchsorted(i_sel, P.ravel(), side="right")
+        act = np.argsort(-t, kind="stable")
+        ts = t[act]
+        act_k = act // c_max
+        act_c = act % c_max
+        full = (t.reshape(P.shape) >= m)
+        states = [vloT + np.where(full, dv, 0.0).T for vloT, dv in tables]
+        j = int(np.searchsorted(-ts, -(m - 1)))
+        pos = m
+        while pos > 0:
+            while j < len(ts) and ts[j] == pos:
+                kk_, cc_ = int(act_k[j]), int(act_c[j])
+                for S, (vloT, dv) in zip(states, tables):
+                    S[cc_, kk_] += dv[kk_, cc_]
+                j += 1
+            nxt = int(ts[j]) if j < len(ts) else 0
+            lo = max(nxt, 0)
+            blk = slice(lo, pos)
+            yield blk, [wpad[blk] @ S for S in states]
+            pos = lo
+
+    cards = np.fromiter((len(wi) for wi in wl), dtype=np.int64, count=m_all)
+    # flat ragged buffer + offsets: one concatenate instead of per-row
+    # conversions (the Arrow batch is list-typed)
+    flat_w = (
+        np.concatenate([np.asarray(wi, dtype=np.float64)
+                        for wi in wl if len(wi)])
+        if cards.sum() else np.empty(0)
+    )
+    starts = np.zeros(m_all + 1, dtype=np.int64)
+    np.cumsum(cards, out=starts[1:])
+    # islands: single fake neighbor at island_weight (crand.py:333-339)
+    island_mask = cards == 0
+    cards = np.maximum(cards, 1)
+    p_out = np.empty(m_all, dtype=np.float64)
+    sims_out = [None] * m_all if keep else None
+
+    order = np.argsort(ids, kind="stable")
+    pos0 = 0
+    while pos0 < m_all:
+        # streaming path never materializes (m, k): site chunks only
+        # bound the padded-weights matrix
+        m_chunk = 8192 if streaming else max(64, _CHUNK_ELEMS // max(k, 1))
+        sel = order[pos0:pos0 + m_chunk]
+        pos0 += len(sel)
+        c_max = int(cards[sel].max())
+        i_sel = ids[sel]
+        m = len(sel)
+        # vectorized ragged->padded scatter
+        wpad = np.zeros((m, c_max))
+        real = ~island_mask[sel]
+        real_rows = np.nonzero(real)[0]
+        reps = np.minimum(cards[sel][real_rows], c_max)
+        if len(real_rows):
+            rowidx = np.repeat(real_rows, reps)
+            offs = np.repeat(starts[sel[real_rows]], reps)
+            within = (
+                np.arange(len(rowidx))
+                - np.repeat(np.cumsum(reps) - reps, reps)
+            )
+            wpad[rowidx, within] = flat_w[offs + within]
+        isl_rows = np.nonzero(~real)[0]
+        if len(isl_rows):
+            wpad[isl_rows, 0] = island_weight
+        rowsum = wpad.sum(axis=1)
+        obs_sel = obs[sel]
+        selfws_sel = selfws[sel]
+
+        if streaming:
+            cnt_ge = np.zeros(m, dtype=np.int64)
+            cnt_le = np.zeros(m, dtype=np.int64)
+            for kb in range(0, k, kb_size):
+                Pb = P_full[kb:kb + kb_size, :c_max]
+                for blk, lags in sweep_blocks(Pb, i_sel, wpad, m):
+                    sims = sims_fn(
+                        i_sel[blk], z, lags, selfws_sel[blk],
+                        scaling, rowsum[blk],
+                    )
+                    ob = obs_sel[blk][:, None]
+                    cnt_ge[blk] += (sims >= ob).sum(axis=1)
+                    cnt_le[blk] += (sims <= ob).sum(axis=1)
+            if alternative == "greater":
+                p = (cnt_ge + 1.0) / (k + 1.0)
+            elif alternative == "lesser":
+                p = (cnt_le + 1.0) / (k + 1.0)
+            else:  # directed
+                larger = cnt_ge.copy()
+                low = (k - larger) < larger
+                larger[low] = k - larger[low]
+                p = (larger + 1.0) / (k + 1.0)
+            p_out[sel] = p
+        else:
+            P = P_full[:, :c_max]
+            for blk, lags in sweep_blocks(P, i_sel, wpad, m):
+                sims = sims_fn(
+                    i_sel[blk], z, lags, selfws_sel[blk],
+                    scaling, rowsum[blk],
+                )
+                rows = sel[blk]
+                p_out[rows] = permutation_significance(
+                    obs[rows], sims, alternative
+                )
+                if keep:
+                    for r, s in enumerate(rows):
+                        sims_out[s] = sims[r].tolist()
+    return p_out, sims_out

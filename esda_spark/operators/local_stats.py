@@ -66,16 +66,28 @@ def moran_local(
     ddof=0); quadrants per ``__quads`` (``moran.py:1412-1422``),
     moments per Sokal 1998 A3/A4/A7/A8 (``moran.py:1424-1468``).
     """
+    y = F.col(value_col)
     agg = points.agg(
         F.count("*").alias("n"), F.avg(value_col).alias("mu"),
         F.stddev_pop(value_col).alias("sd"),
+        F.sum(y * y).alias("m2r"), F.sum(y * y * y).alias("m3r"),
+        F.sum(y * y * y * y).alias("m4r"),
     ).collect()[0]
     n, mu, sd = int(agg.n), float(agg.mu), float(agg.sd)
     zvals = points.select(
         "id", ((F.col(value_col) - F.lit(mu)) / F.lit(sd)).alias("z")
     )
-    den = zvals.agg(F.sum(F.col("z") * F.col("z"))).collect()[0][0]
-    den = float(den)
+    # single-pass moments: z is population-standardized, so
+    # den = sum(z^2) = n exactly; sum(z^4) from raw moments
+    den = float(n)
+    m2r, m3r, m4r = float(agg.m2r), float(agg.m3r), float(agg.m4r)
+    # central 4th moment via binomial expansion of sum((y-mu)^4);
+    # second pass only if the expansion cancels catastrophically
+    c4 = m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * n * mu**4
+    if not (c4 > 0 and c4 > 1e-10 * abs(m4r)):
+        z2c = F.col("z") * F.col("z")
+        c4 = float(zvals.agg(F.sum(z2c * z2c)).collect()[0][0]) * sd**4
+    z4ss = c4 / sd**4
     w = transform_weights(edges, transformation)
     lag = spatial_lag(w, zvals, "z")
     base = zvals.join(lag, "id", "left").withColumn(
@@ -107,9 +119,7 @@ def moran_local(
         .withColumn("EI", -F.col("wi") / F.lit(n - 1.0))
     )
     # VI (total randomization): wi2*(n-b2)/(n-1) + (wi^2-wi2)*(2*b2-n)/((n-1)(n-2)) - (wi/(n-1))^2
-    b2 = float(
-        zvals.agg(F.sum(z2 * z2)).collect()[0][0]
-    ) / n / (m2 * m2)
+    b2 = z4ss / n / (m2 * m2)
     base = base.withColumn(
         "VI",
         F.col("wi2") * F.lit((n - b2) / (n - 1.0))
@@ -714,3 +724,120 @@ def local_crossplot(
         "id", "Hi", F.col("pval").alias("losh_pval")
     )
     return m.join(g, "id").join(h, "id")
+
+
+# ---------------------------------------------------------------------------
+# Partial multivariate local Moran (moran_local_mv.py:39-257):
+# lmos = (D (D'D)^-1) o tile(Wy) * (n-1), D = [1 y X]
+# ---------------------------------------------------------------------------
+
+def moran_local_partial(
+    points: DataFrame,
+    edges: DataFrame,
+    y_col: str,
+    x_cols: list[str],
+    permutations: int = 999,
+    seed: int = 12345,
+    alternative: str = "directed",
+    unit_scale: bool = True,
+) -> DataFrame:
+    """Columns: id, lmo_0..lmo_P, p_sim_0..p_sim_P.
+
+    Component 0 is the y~Wy partial; components 1..P the covariate
+    partials.  (D'D)^-1 is a collected (P+2)x(P+2) Gram inverse; each
+    left column is a broadcast linear combination, and each component's
+    conditional randomization is "site constant x permuted lag"
+    (reference's bespoke loop at moran_local_mv.py:213-257 re-expressed
+    through the shared crand engine).
+    """
+    import numpy as np
+
+    p = len(x_cols)
+    aggs = points.agg(
+        F.avg(y_col).alias("my"), F.stddev_pop(y_col).alias("sy"),
+        F.count("*").alias("n"),
+        *[F.avg(c).alias(f"m{i}") for i, c in enumerate(x_cols)],
+        *[F.stddev_pop(c).alias(f"s{i}") for i, c in enumerate(x_cols)],
+    ).collect()[0]
+    n = int(agg_n := aggs.n)
+    ycol = F.col(y_col) - F.lit(float(aggs.my))
+    xcols = [F.col(c) - F.lit(float(aggs[f"m{i}"])) for i, c in enumerate(x_cols)]
+    if unit_scale:
+        ycol = ycol / F.lit(float(aggs.sy))
+        xcols = [xc / F.lit(float(aggs[f"s{i}"])) for i, xc in enumerate(xcols)]
+    zd = points.select(
+        "id", ycol.alias("yc"),
+        *[xc.alias(f"x{i}") for i, xc in enumerate(xcols)],
+    ).withColumn("one", F.lit(1.0))
+    dnames = ["one", "yc"] + [f"x{i}" for i in range(p)]
+    gram_aggs = []
+    for i, a in enumerate(dnames):
+        for b in dnames[i:]:
+            gram_aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"g_{a}_{b}"))
+    g = zd.agg(*gram_aggs).collect()[0]
+    q = len(dnames)
+    G = np.zeros((q, q))
+    for i, a in enumerate(dnames):
+        for j, b in enumerate(dnames):
+            key = f"g_{a}_{b}" if j >= i else f"g_{b}_{a}"
+            G[i, j] = float(g[key])
+    DtDi = np.linalg.inv(G)
+
+    w = transform_weights(edges, "R")
+    wy = spatial_lag(w, zd.select("id", F.col("yc").alias("v")), "v", "wy")
+    base = zd.join(wy, "id", "left").withColumn(
+        "wy", F.coalesce("wy", F.lit(0.0))
+    )
+    # left_j = sum_i D_i * DtDi[i, j]
+    for j in range(q):
+        expr = F.lit(0.0)
+        for i, a in enumerate(dnames):
+            expr = expr + F.col(a) * F.lit(float(DtDi[i, j]))
+        base = base.withColumn(f"left_{j}", expr)
+        base = base.withColumn(
+            f"lmo_{j}", F.col(f"left_{j}") * F.col("wy") * F.lit(n - 1.0)
+        )
+    if permutations:
+        for j in range(q):
+            vals = base.select(
+                "id", F.col(f"left_{j}").alias("zx"), F.col("yc").alias("zy")
+            )
+            obs = base.select(
+                "id", (F.col(f"left_{j}") * F.col("wy")).alias("observed")
+            )
+            pj = conditional_randomization(
+                vals, w, obs, "left_times_lag",
+                permutations=permutations, seed=seed, scaling=1.0,
+                alternative=alternative,
+            ).withColumnRenamed("p_sim", f"p_sim_{j}")
+            base = base.join(pj, "id", "left")
+    keep_cols = (
+        ["id"]
+        + [f"lmo_{j}" for j in range(q)]
+        + ([f"p_sim_{j}" for j in range(q)] if permutations else [])
+    )
+    return base.select(*keep_cols)
+
+
+def by_col(
+    points: DataFrame,
+    edges: DataFrame,
+    stat,
+    cols: list[str],
+    prefix: str | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Apply a local statistic column-wise and append suffixed result
+    columns — the engine's analogue of the reference's tabular
+    ``by_col`` handlers (tabular.py:12-198)."""
+    out = points.select("id")
+    for c in cols:
+        res = stat(points, edges, c, **kwargs)
+        stat_name = prefix or stat.__name__
+        renames = {
+            rc: f"{c}_{stat_name}_{rc}" for rc in res.columns if rc != "id"
+        }
+        for old, new in renames.items():
+            res = res.withColumnRenamed(old, new)
+        out = out.join(res, "id", "left")
+    return out

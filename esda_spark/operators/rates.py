@@ -308,3 +308,83 @@ def indirect_age_standardization(
     return smr.select(
         unit_col, (F.col("smr") * F.lit(float(tot.s_r_all))).alias("rate")
     )
+
+
+def spatial_filtering(
+    points: DataFrame,
+    bbox: tuple[float, float, float, float],
+    x_grid: int,
+    y_grid: int,
+    radius: float | None = None,
+    pop: float | None = None,
+    e_col: str = "e",
+    b_col: str = "b",
+    max_radius: float | None = None,
+) -> DataFrame:
+    """Grid-sampled rate in a moving window (``smoothing.py:1212-1336``).
+
+    Fixed-radius: rate = sum(e)/sum(b) over points within ``radius`` of
+    each grid vertex (cell-candidate join, one aggregate).  Adaptive
+    (``pop``): cumulative e/b over distance-sorted points until the
+    population threshold, windowed per grid vertex; candidates bounded
+    by ``max_radius`` (the bbox diagonal by default) — the documented
+    deviation from the reference's full KDTree sort.
+    """
+    from esda_spark.plans.cells import expand_ring, with_cell
+
+    if radius is None and pop is None:
+        raise ValueError("Either radius or pop must be given.")
+    x0, y0, x1, y1 = (float(v) for v in bbox)
+    spark = points.sparkSession
+    sx = (x1 - x0) / x_grid
+    sy = (y1 - y0) / y_grid
+    grid = spark.range(x_grid * y_grid).select(
+        F.col("id").alias("gid"),
+        (x0 + (F.col("id") / y_grid).cast("long") * sx).alias("x"),
+        (y0 + (F.col("id") % y_grid) * sy).alias("y"),
+    )
+    reach = radius if radius is not None else (
+        max_radius if max_radius is not None
+        else ((x1 - x0) ** 2 + (y1 - y0) ** 2) ** 0.5
+    )
+    cell = max(reach, 1e-9)
+    g = with_cell(grid, cell).withColumnRenamed("id", "gid") \
+        if "id" in grid.columns else with_cell(grid, cell)
+    p = with_cell(points.select("id", "x", "y", e_col, b_col), cell).select(
+        F.col("x").alias("px"), F.col("y").alias("py"),
+        F.col(e_col).alias("pe"), F.col(b_col).alias("pb"), F.col("cell"),
+    )
+    dx = F.col("x") - F.col("px")
+    dy = F.col("y") - F.col("py")
+    cand = (
+        expand_ring(g, 1)
+        .join(p, "cell")
+        .select("gid", "x", "y", "pe", "pb",
+                F.sqrt(dx * dx + dy * dy).alias("dist"))
+        .where(F.col("dist") <= F.lit(float(reach)))
+    )
+    if radius is not None:
+        return (
+            grid.join(
+                cand.groupBy("gid").agg(
+                    (F.sum("pe") / F.sum("pb")).alias("r")
+                ),
+                "gid", "left",
+            )
+            .select("gid", "x", "y", "r")
+        )
+    win = Window.partitionBy("gid").orderBy("dist")
+    cum = (
+        cand.withColumn("ce", F.sum("pe").over(win))
+        .withColumn("cb", F.sum("pb").over(win))
+        .withColumn("rn", F.row_number().over(win))
+    )
+    # last cumulative row with cb <= pop; fall back to the nearest point
+    keep = cum.where((F.col("cb") <= F.lit(float(pop))) | (F.col("rn") == 1))
+    wlast = Window.partitionBy("gid").orderBy(F.desc("rn"))
+    last = (
+        keep.withColumn("rk", F.row_number().over(wlast))
+        .where(F.col("rk") == 1)
+        .select("gid", (F.col("ce") / F.col("cb")).alias("r"))
+    )
+    return grid.join(last, "gid", "left").select("gid", "x", "y", "r")

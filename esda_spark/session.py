@@ -12,6 +12,15 @@ from __future__ import annotations
 import os
 import tempfile
 
+# One BLAS thread per Python worker: Spark already runs one worker per
+# task slot, so letting OpenBLAS spawn per-core thread pools inside 32
+# concurrent workers oversubscribes the box ~32x and destroys scaling
+# of the Arrow kernels.  Must be set before the JVM (and thus the
+# worker daemons) launch.
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS",
+           "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
 from pyspark.sql import SparkSession
 
 

@@ -77,10 +77,7 @@ def test_query_matches_oracle(spark, sf_dir, duck, key):
             assert mism == 0, f"{key}.{c}: {mism} mismatches"
 
 
-NON_ORACLE = [
-    "lisa_full", "g_local_star_sim", "ljc_sim", "moran_global_perm",
-    "ann_topk", "ann_lsh_topk", "spatial_eb_rate", "spatial_median_rate",
-]
+NON_ORACLE = sorted(set(entrymod.queries()) - set(ORACLE_KEYS))
 
 
 @pytest.mark.parametrize("key", NON_ORACLE)
