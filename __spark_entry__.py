@@ -37,7 +37,7 @@ _CACHE: dict = {}
 def _points(spark: SparkSession, sf_dir: str, table: str = "customer") -> DataFrame:
     from esda_spark.sources.points import points_from_table
 
-    key = ("points", sf_dir, table)
+    key = ("points", id(spark), sf_dir, table)
     if key not in _CACHE:
         _CACHE[key] = points_from_table(spark, sf_dir, table).cache()
     return _CACHE[key]
@@ -46,7 +46,7 @@ def _points(spark: SparkSession, sf_dir: str, table: str = "customer") -> DataFr
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from esda_spark.operators.weights import knn_edges
 
-    key = ("edges", sf_dir)
+    key = ("edges", id(spark), sf_dir)
     if key not in _CACHE:
         df = knn_edges(_points(spark, sf_dir), k=K, cell_size=8.0).cache()
         df.count()

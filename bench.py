@@ -61,7 +61,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     pts = points_from_table(spark, sf_dir, "customer").cache()
     n_pts = pts.count()
     edges = timed("knn_build_customer",
-                  lambda: knn_edges(pts, k=8, cell_size=8.0).cache())
+                  lambda: knn_edges(pts, k=8).cache())
     edges.count()
 
     timed("moran_global", lambda: moran(pts, edges, "y_cont", "r"))
@@ -89,7 +89,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         "pip_join_orders",
         lambda: point_in_polygon(big, polys, 25.0).count(),
     )
-    timed("knn_build_orders", lambda: knn_edges(big, k=8, cell_size=2.0).count())
+    timed("knn_build_orders", lambda: knn_edges(big, k=8).count())
 
     # --- text ops over documents ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
@@ -140,7 +140,7 @@ def lisa_throughput(cpus: int, sf_dir: str, perms: int) -> dict:
         "esda_spark.sources.points", fromlist=["points_from_table"]
     ).points_from_table(spark, sf_dir, SCALING_TABLE).cache()
     n = pts.count()
-    edges = knn_edges(pts, k=8, cell_size=2.0).cache()
+    edges = knn_edges(pts, k=8).cache()
     edges.count()
     # warm-up (JIT, code cache) then timed run
     moran_local(pts, edges, "y_cont", permutations=50, seed=1).select(

@@ -46,26 +46,81 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    arrow: bool = True,
 ) -> DataFrame:
     """(query_id, vec_id, rank, sim): exact cosine top-k per query.
 
-    The query block is broadcast; the corpus side streams — one scan,
-    no shuffle except the per-query top-k window (partitioned by
-    query_id, which is uniform by construction).
+    Default path: broadcast the query matrix to an Arrow kernel; each
+    corpus partition computes one BLAS (queries x rows) score matrix
+    and emits only its local top-k per query, so the shuffle carries
+    O(partitions * q * k) rows — the map-side-combine shape that holds
+    at corpus sizes where the naive crossJoin's q*n rows would not.
+    ``arrow=False`` keeps the pure-Catalyst higher-order-function
+    formulation (the SQL-oracle-comparable reference path).
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(vec_col).alias("qv"),
+    if not arrow:
+        q = F.broadcast(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+            )
         )
+        c = embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        )
+        scored = q.crossJoin(c).where(
+            F.col("query_id") != F.col("vec_id")
+        ).select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("qv"), F.col("cv"))
+             / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+        )
+        win = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("vec_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select("query_id", "vec_id", "rank", "sim")
+        )
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    Q = np.array([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((qids, Qn))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, Qn_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.vstack(pdf[id_col + "_v"].to_numpy()).astype(np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            sims = Qn_ @ C.T                     # (q, rows)
+            vec_ids = pdf["vid"].to_numpy(np.int64)
+            kk = min(k + 1, sims.shape[1])       # +1 to survive self-drop
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out_q, out_v, out_s = [], [], []
+            for qi in range(len(qids_)):
+                cols = part[qi]
+                out_q.extend([qids_[qi]] * len(cols))
+                out_v.extend(vec_ids[cols])
+                out_s.extend(sims[qi, cols])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "sim": out_s}
+            )
+
+    prepared = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias(id_col + "_v")
     )
-    c = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
-    scored = q.crossJoin(c).where(F.col("query_id") != F.col("vec_id")).select(
-        "query_id",
-        "vec_id",
-        (_dot(F.col("qv"), F.col("cv"))
-         / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
-    )
+    scored = prepared.mapInPandas(
+        score, schema="query_id long, vec_id long, sim double"
+    ).where(F.col("query_id") != F.col("vec_id"))
     win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(win))

@@ -46,15 +46,18 @@ EDGE_COLS = ("focal", "neighbor", "weight")
 
 
 def _estimate_cell_size(points: DataFrame, k: int) -> float:
-    """Pick a cell size so a 3x3 ring holds ~2k points on average."""
+    """Pick a cell size so one cell holds ~k points on average: the
+    k-th neighbor distance (~ s * sqrt(1/pi) ~ 0.56 s) then sits inside
+    the radius-1 settlement guard, so the first 3x3 ring (~9k
+    candidates) settles nearly every point in one pass while keeping
+    the candidate join as small as the guard allows."""
     row = points.agg(
         F.min("x").alias("x0"), F.max("x").alias("x1"),
         F.min("y").alias("y0"), F.max("y").alias("y1"),
         F.count("*").alias("n"),
     ).collect()[0]
     area = max((row.x1 - row.x0) * (row.y1 - row.y0), 1e-12)
-    # 9 cells * density * s^2 = 2k  =>  s = sqrt(2k * area / (9 n))
-    return max(math.sqrt(2.0 * k * area / (9.0 * max(row.n, 1))), 1e-9)
+    return max(math.sqrt(1.0 * k * area / max(row.n, 1)), 1e-9)
 
 
 def knn_edges(
@@ -90,7 +93,8 @@ def knn_edges(
     # whose optimization/stringification dominates the wall clock.
     levels: list[tuple[int, DataFrame]] = []
     remaining = base
-    for lvl in range(max_levels):
+    lvl = 0
+    while lvl <= max_levels:
         s = cell_size / (2**lvl)
         keyed = remaining.withColumn(
             "_c", cell_key(F.col("x"), F.col("y"), s)
@@ -103,13 +107,24 @@ def knn_edges(
         dense = keyed.where(F.col("count") > density_threshold).select(
             "id", "x", "y"
         )
-        n_sparse = sparse.count()
-        if n_sparse:
+        stats_row = keyed.agg(
+            F.sum((F.col("count") <= density_threshold).cast("long")).alias("ns"),
+            F.max("count").alias("mx"),
+        ).collect()[0]
+        if int(stats_row.ns or 0):
             levels.append((lvl, sparse))
-        if dense.isEmpty():
-            remaining = None
+        max_count = int(stats_row.mx or 0)
+        if max_count <= density_threshold or lvl == max_levels:
+            remaining = None if max_count <= density_threshold else dense
             break
         remaining = dense
+        # jump straight to the resolution where the densest cell would
+        # hold ~threshold points (area scales 4x per level), instead of
+        # one groupBy-count job per intermediate level
+        jump = max(
+            1, math.ceil(math.log(max_count / density_threshold, 4))
+        )
+        lvl = min(lvl + jump, max_levels)
     if remaining is not None:
         levels.append((max_levels, remaining))
 
@@ -200,7 +215,7 @@ def _knn_rounds(
         unsettled = unsettled.join(
             remaining_ids.distinct(), "id", "left_semi"
         ).localCheckpoint(eager=True)
-        radius *= 4
+        radius *= 2
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
