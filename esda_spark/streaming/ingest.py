@@ -42,3 +42,20 @@ def cell_counts_stream(
         F.count("*").alias("doc_count"),
         F.sum("n_chars").alias("char_sum"),
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first occurrence of each content
+    hash within the watermark horizon (bounded state; exactly the
+    batch `exact_dedup_groups` semantics restricted to the horizon).
+    """
+    return (
+        stream.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

@@ -115,3 +115,25 @@ def test_mathx_against_reference_values():
     # fractional dof vs numerical integration (verified offline)
     assert chi2_sf(5.0, 2.5) == pytest.approx(0.1230885711526587, rel=1e-9)
     assert chi2_sf(0.5, 7.3) == pytest.approx(0.9996366322967627, rel=1e-9)
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from esda_spark.streaming.ingest import dedup_stream
+
+    src = str(tmp_path / "dstream")
+    os.makedirs(src)
+    batch = spark.range(100).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.concat(F.lit("doc"), (F.col("id") % 40).cast("string")).alias("text"),
+    )
+    batch.write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        dedup_stream(stream).writeStream.format("memory")
+        .queryName("dedup").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup").collect()
+    assert len(rows) == 40  # one survivor per distinct content hash

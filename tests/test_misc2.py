@@ -111,3 +111,44 @@ def test_by_col(spark, pts):
     cols = set(out.columns)
     assert "y_cont_moran_local_Is" in cols and "e_moran_local_Is" in cols
     assert out.count() == df.count()
+
+
+def test_silhouette_alist_and_nearest_label(spark):
+    from esda_spark.operators.silhouettes import nearest_label, silhouette_alist
+    from esda_spark.operators.weights import knn_edges
+
+    rng = np.random.default_rng(13)
+    a = rng.normal((0, 0), 1.0, size=(30, 2))
+    b = rng.normal((10, 0), 1.0, size=(30, 2))
+    xy = np.vstack([a, b])
+    labels_np = np.array([0] * 30 + [1] * 30)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(y)) for i, (x, y) in enumerate(xy)],
+        "id long, x double, y double",
+    )
+    labs = spark.createDataFrame(
+        [(int(i), int(l)) for i, l in enumerate(labels_np)],
+        "id long, label int",
+    )
+    edges = knn_edges(pts, k=5, cell_size=3.0)
+    sil = silhouette_alist(pts, labs, edges, ["x", "y"]).collect()
+    # numpy oracle per edge
+    for r in sil[:50]:
+        i = r.focal
+        if r.label_focal == r.label_neighbor:
+            assert r.silhouette == 0.0
+            continue
+        d = np.hypot(xy[:, 0] - xy[i, 0], xy[:, 1] - xy[i, 1])
+        own = d[labels_np == r.label_focal].mean()
+        other = d[labels_np == r.label_neighbor].mean()
+        want = (other - own) / max(other, own)
+        assert r.silhouette == pytest.approx(want, rel=1e-9)
+    nl = {r.id: (r.nearest_label, r.dissim)
+          for r in nearest_label(pts, labs, ["x", "y"]).collect()}
+    # with 2 well-separated clusters, nearest alternative is the other one
+    for i in range(60):
+        assert nl[i][0] == (1 - labels_np[i])
+        d = np.hypot(xy[:, 0] - xy[i, 0], xy[:, 1] - xy[i, 1])
+        other_mask = labels_np == (1 - labels_np[i])
+        want = d[other_mask].sum() / max(other_mask.sum() - 1, 1)
+        assert nl[i][1] == pytest.approx(want, rel=1e-9)
