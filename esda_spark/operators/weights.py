@@ -128,73 +128,88 @@ def knn_edges(
     if remaining is not None:
         levels.append((max_levels, remaining))
 
-    parts = [
-        _knn_rounds(focals, base, k, cell_size / (2**lvl), binary, max_rounds)
-        for lvl, focals in levels
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _knn_rounds_multi(levels, base, k, cell_size, binary, max_rounds)
 
 
-def _knn_rounds(
-    focals: DataFrame,
+def _knn_rounds_multi(
+    levels: list[tuple[int, DataFrame]],
     all_points: DataFrame,
     k: int,
     cell_size: float,
     binary: bool,
     max_rounds: int,
 ) -> DataFrame:
-    """Doubling-ring settlement at one resolution: a focal is settled
-    once it has >= k candidates whose k-th squared distance is strictly
-    inside the guaranteed-covered radius ``R * cell_size``; stragglers
-    retry with a quadrupled ring (a small, shrinking side)."""
-    pts = with_cell(focals.select("id", "x", "y"), cell_size)
-    targets = with_cell(all_points, cell_size).select(
-        F.col("id").alias("neighbor"),
-        F.col("x").alias("nx"),
-        F.col("y").alias("ny"),
-        F.col("cell"),
-    )
+    """Doubling-ring settlement with ALL density levels in one loop:
+    focals carry their level, targets are indexed once per active level,
+    and the candidate join keys on (lvl, cell) — so each round is one
+    job regardless of how many resolutions the quadtree produced.
+
+    Fine-level focals are guaranteed to settle within ring radius ~4:
+    their parent (still-dense) cell alone holds > threshold >= 4k
+    points within 2*sqrt(2) fine cells.  Only level-0 focals can reach
+    world coverage; those fall back to a broadcast brute force.
+    """
+    lvl_ids = [lvl for lvl, _ in levels]
+    sizes = {lvl: cell_size / (2**lvl) for lvl in lvl_ids}
+
+    pts = None
+    targets = None
+    for lvl, focals in levels:
+        f = with_cell(focals.select("id", "x", "y"), sizes[lvl]).withColumn(
+            "lvl", F.lit(lvl)
+        )
+        t = with_cell(all_points, sizes[lvl]).select(
+            F.col("id").alias("neighbor"), F.col("x").alias("nx"),
+            F.col("y").alias("ny"), F.col("cell"),
+        ).withColumn("lvl", F.lit(lvl))
+        pts = f if pts is None else pts.unionByName(f)
+        targets = t if targets is None else targets.unionByName(t)
+
+    guard_size = F.lit(cell_size) / F.pow(F.lit(2.0), F.col("lvl"))
     unsettled = pts
     results: list[DataFrame] = []
+    intermediates: list[DataFrame] = []
     radius = 1
     for _ in range(max_rounds):
-        guard = float(radius * cell_size) ** 2
-        world_covered = radius * cell_size > 400.0
+        world_covered = radius * min(sizes.values()) > 400.0
         dx = F.col("x") - F.col("nx")
         dy = F.col("y") - F.col("ny")
         if world_covered:
-            # stragglers: brute-force the (tiny, broadcast) remainder
-            # instead of exploding a world-sized ring of cells
-            cand = F.broadcast(unsettled.drop("cell")).crossJoin(
-                targets.drop("cell")
+            cand = F.broadcast(
+                unsettled.drop("cell", "cx", "cy")
+            ).crossJoin(
+                all_points.select(
+                    F.col("id").alias("neighbor"), F.col("x").alias("nx"),
+                    F.col("y").alias("ny"),
+                )
             ).where(F.col("id") != F.col("neighbor"))
         else:
             cand = (
                 expand_ring(unsettled.withColumnRenamed("cell", "cell0"), radius)
-                .join(targets, "cell")
+                .join(targets, ["lvl", "cell"])
                 .where(F.col("id") != F.col("neighbor"))
             )
+        guard2 = (F.lit(float(radius)) * guard_size) ** 2
         cand = cand.select(
-            "id", "neighbor", (dx * dx + dy * dy).alias("d2")
+            "id", "neighbor", (dx * dx + dy * dy).alias("d2"),
+            (F.lit(world_covered) | (F.lit(float(radius)) * guard_size > 400.0)
+             ).alias("_world"),
+            guard2.alias("_g2"),
         )
         win = Window.partitionBy("id").orderBy("d2", "neighbor")
-        # one shuffle: rank per focal, keep top-k, tag settled focals via
-        # a window max over the kept rows — no separate stats job
         topk = (
             cand.withColumn("rk", F.row_number().over(win))
             .where(F.col("rk") <= k)
             .withColumn(
                 "_settled",
-                F.lit(world_covered)
+                F.col("_world")
                 | (
                     (F.max("rk").over(Window.partitionBy("id")) >= k)
-                    & (F.max("d2").over(Window.partitionBy("id")) < F.lit(guard))
+                    & (F.max("d2").over(Window.partitionBy("id")) < F.col("_g2"))
                 ),
             )
-        ).localCheckpoint(eager=True)  # truncate per-round lineage
+        ).localCheckpoint(eager=True)
+        intermediates.append(topk)
         edges = topk.where(F.col("_settled")).select(
             F.col("id").alias("focal"),
             "neighbor",
@@ -203,7 +218,7 @@ def _knn_rounds(
         results.append(edges)
         remaining_ids = (
             topk.where(~F.col("_settled")).select("id").distinct()
-            .unionByName(  # focals with zero candidates this round
+            .unionByName(
                 unsettled.select("id").join(
                     topk.select("id").distinct(), "id", "left_anti"
                 )
@@ -215,10 +230,19 @@ def _knn_rounds(
         unsettled = unsettled.join(
             remaining_ids.distinct(), "id", "left_semi"
         ).localCheckpoint(eager=True)
+        intermediates.append(unsettled)
         radius *= 2
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    # materialize the result so per-round checkpoint blocks can be freed
+    # (they otherwise accumulate across builds in one session)
+    out = out.localCheckpoint(eager=True)
+    for df in intermediates:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
     return out
 
 
