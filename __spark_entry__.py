@@ -376,6 +376,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return spark.createDataFrame(rows, "support double, I double")
 
+    def moran_local_bv_observed(spark, sf):
+        res = lstats.moran_local_bv(
+            _points(spark, sf), _edges(spark, sf), "y_cont", "e",
+            permutations=0,
+        )
+        return _round(res.select("id", "Is"), ["Is"])
+
+    def _pts2(spark, sf):
+        return _points(spark, sf).withColumn(
+            "z2", ((F.col("id") * 13) % 2).cast("double")
+        ).withColumn("z3", ((F.col("id") * 31) % 2).cast("double"))
+
+    def ljc_bv_observed(spark, sf):
+        bjc = lstats.join_counts_local_bv(
+            _pts2(spark, sf), _edges(spark, sf), "y_bin", "z2",
+            case="BJC", permutations=0,
+        ).select("id", F.col("LJC").cast("long").alias("bjc"))
+        clc = lstats.join_counts_local_bv(
+            _pts2(spark, sf), _edges(spark, sf), "y_bin", "z2",
+            case="CLC", permutations=0,
+        ).select("id", F.col("LJC").cast("long").alias("clc"))
+        return bjc.join(clc, "id")
+
+    def ljc_mv_observed(spark, sf):
+        res = lstats.join_counts_local_mv(
+            _pts2(spark, sf), _edges(spark, sf), ["y_bin", "z2", "z3"],
+            permutations=0,
+        )
+        return res.select("id", F.col("MCLC").cast("long").alias("mclc"))
+
     # ---- non-SQL-expressible (conditional permutation / ANN) ----
 
     def lisa_full(spark, sf):
@@ -463,6 +493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": fingerprint_q,
         "ngram_jaccard": ngram_jaccard_q,
         "geary_local_mv_observed": geary_local_mv_observed,
+        "moran_local_bv_observed": moran_local_bv_observed,
+        "ljc_bv_observed": ljc_bv_observed,
+        "ljc_mv_observed": ljc_mv_observed,
         "knn_join": knn_join_q,
         "overlay_areas_grids": overlay_areas_grids,
         "spatial_eb": spatial_eb_oracle,
@@ -1020,6 +1053,54 @@ FROM documents
 )
 SELECT p.id, round(coalesce(g.localG, 0.0), {ND}) AS localG
 FROM pts p LEFT JOIN g ON g.id = p.id
+"""
+
+    sql["moran_local_bv_observed"] = _with(P, E, W) + f"""
+, ms AS (SELECT count(*) AS n,
+                avg(y_cont) AS mx, stddev_samp(y_cont) AS sx,
+                avg(e) AS my, stddev_samp(e) AS sy FROM pts)
+, zt AS (SELECT id, (y_cont - ms.mx)/ms.sx AS zx,
+                (e - ms.my)/ms.sy AS zy FROM pts, ms)
+, dent AS (SELECT sum(zx*zx) AS den FROM zt)
+, lagt AS (SELECT w.focal AS id, sum(w.weight * z.zy) AS lag
+           FROM w JOIN zt z ON z.id = w.neighbor GROUP BY 1)
+SELECT zt.id,
+  round((ms.n - 1) * zt.zx * coalesce(lagt.lag, 0.0) / dent.den, {ND}) AS Is
+FROM zt CROSS JOIN ms CROSS JOIN dent LEFT JOIN lagt ON lagt.id = zt.id
+"""
+
+    sql["ljc_bv_observed"] = _with(P, E) + """
+, p2 AS (SELECT *, CAST((id * 13) % 2 AS DOUBLE) AS z2 FROM pts)
+, j AS (
+  SELECT e.focal, pf.y_bin AS xf, pf.z2 AS zf, pn.y_bin AS xn, pn.z2 AS zn
+  FROM edges e JOIN p2 pf ON pf.id = e.focal JOIN p2 pn ON pn.id = e.neighbor
+)
+SELECT p.id,
+  coalesce(s.bjc, 0) AS bjc, coalesce(s.clc, 0) AS clc
+FROM pts p LEFT JOIN (
+  SELECT focal AS id,
+    CAST(sum(CASE WHEN xf = 1 AND zf = 0 AND xn = 0 AND zn = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS bjc,
+    CAST(sum(CASE WHEN xf = 1 AND zf = 1 AND xn = 1 AND zn = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS clc
+  FROM j GROUP BY 1
+) s ON s.id = p.id
+"""
+
+    sql["ljc_mv_observed"] = _with(P, E) + """
+, p2 AS (
+  SELECT *, y_bin * CAST((id * 13) % 2 AS DOUBLE)
+              * CAST((id * 31) % 2 AS DOUBLE) AS ext
+  FROM pts
+)
+SELECT p.id, coalesce(s.mclc, 0) AS mclc
+FROM pts p LEFT JOIN (
+  SELECT e.focal AS id,
+    CAST(sum(CASE WHEN pf.ext = 1 AND pn.ext = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS mclc
+  FROM edges e JOIN p2 pf ON pf.id = e.focal JOIN p2 pn ON pn.id = e.neighbor
+  GROUP BY 1
+) s ON s.id = p.id
 """
 
     sql["knn_join"] = (

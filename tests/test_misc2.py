@@ -152,3 +152,28 @@ def test_silhouette_alist_and_nearest_label(spark):
         other_mask = labels_np == (1 - labels_np[i])
         want = d[other_mask].sum() / max(other_mask.sum() - 1, 1)
         assert nl[i][1] == pytest.approx(want, rel=1e-9)
+
+
+def test_np_mixture_smoother(spark):
+    from esda_spark.operators.mixture import np_mixture_smoother
+
+    rng = np.random.default_rng(7)
+    n = 200
+    # two latent rate groups
+    theta = np.where(rng.random(n) < 0.5, 0.02, 0.10)
+    b = rng.integers(200, 1000, n).astype(float)
+    e = rng.poisson(b * theta).astype(float)
+    pts = spark.createDataFrame(
+        [(int(i), float(e[i]), float(b[i])) for i in range(n)],
+        "id long, e double, b double",
+    )
+    res = np_mixture_smoother(pts, k=30).orderBy("id").collect()
+    r = np.array([row.r for row in res])
+    assert np.isfinite(r).all()
+    # smoothing: posterior rates closer to the true rates than raw ones
+    raw = e / b
+    assert np.abs(r - theta).mean() <= np.abs(raw - theta).mean() + 1e-9
+    # shrinks toward the two modes
+    lo = r[theta == 0.02].mean()
+    hi = r[theta == 0.10].mean()
+    assert 0.01 < lo < 0.05 < hi < 0.15
