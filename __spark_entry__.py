@@ -406,7 +406,153 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("id", F.col("MCLC").cast("long").alias("mclc"))
 
+    def distance_band_q(spark, sf):
+        from esda_spark.operators.weights import distance_band_edges
+
+        return distance_band_edges(
+            _points(spark, sf), threshold=12.0, cell_size=12.0
+        ).select("focal", "neighbor")
+
+    def weights_transforms(spark, sf):
+        from esda_spark.operators.weights import transform_weights
+
+        e = _edges(spark, sf)
+        d = transform_weights(e, "D").select(
+            "focal", "neighbor", F.col("weight").alias("w_d")
+        )
+        v = transform_weights(e, "V").select(
+            "focal", "neighbor", F.col("weight").alias("w_v")
+        )
+        return _round(d.join(v, ["focal", "neighbor"]), ["w_d", "w_v"], 9)
+
+    def kernel_smoother_q(spark, sf):
+        from esda_spark.operators.rates import kernel_smoother
+        from esda_spark.operators.weights import kernel_edges
+
+        pts = _points(spark, sf)
+        ke = kernel_edges(pts, bandwidth=15.0, function="triangular",
+                          cell_size=15.0)
+        return _round(
+            kernel_smoother(pts, ke).select("id", "r"), ["r"], 9
+        )
+
+    def isolation_q(spark, sf):
+        from esda_spark.operators.topo import isolation
+
+        return _round(
+            isolation(_points(spark, sf), "y_cont", cell_size=20.0)
+            .select("id", "isolation", "nearest_higher"),
+            ["isolation"],
+        )
+
+    def spatial_filtering_q(spark, sf):
+        from esda_spark.operators.rates import spatial_filtering
+
+        return _round(
+            spatial_filtering(
+                _points(spark, sf), (-180.0, -90.0, 180.0, 90.0), 6, 6,
+                radius=30.0,
+            ).select("gid", "r"),
+            ["r"], 9,
+        )
+
+    def age_std_q(spark, sf):
+        from esda_spark.operators.rates import (
+            crude_age_standardization,
+            standardized_mortality_ratio,
+        )
+
+        pts = _points(spark, sf)
+        long = pts.select(
+            (F.col("id") % 50).alias("id"), "e", "b",
+            (F.col("e") * 0.5 + 1.0).alias("s_e"),
+            (F.col("b") * 2.0).alias("s_b"),
+        )
+        crude = crude_age_standardization(long).withColumnRenamed(
+            "rate", "crude"
+        )
+        smr = standardized_mortality_ratio(long)
+        return _round(crude.join(smr, "id"), ["crude", "smr"], 9)
+
+    def moran_bv_matrix_q(spark, sf):
+        d = gstats.moran_bv_matrix(
+            _points(spark, sf), _edges(spark, sf), ["y_cont", "e"]
+        )
+        return _scalar_df(
+            spark, {"i_xy": d[(0, 1)]["I"], "i_yx": d[(1, 0)]["I"]},
+            ["i_xy", "i_yx"],
+        )
+
+    def raster_tiling_q(spark, sf):
+        from esda_spark.operators.spatial_join import raster_vector_tiling
+
+        polys = grid_tiling(spark, 4, (-180.0, -90.0, 180.0, 90.0))
+        return raster_vector_tiling(
+            polys, (-180.0, -90.0, 180.0, 90.0), nx=16, ny=8, cell_size=45.0
+        )
+
+    def silhouette_q(spark, sf):
+        from esda_spark.operators.silhouettes import silhouette_alist
+
+        pts = _points(spark, sf)
+        labels = pts.select(
+            "id", (F.floor((F.col("x") + 180.0) / 90.0)).cast("int").alias("label")
+        )
+        return _round(
+            silhouette_alist(pts, labels, _edges(spark, sf), ["x", "y"])
+            .select("focal", "neighbor", "silhouette"),
+            ["silhouette"],
+        )
+
+    def nearest_label_q(spark, sf):
+        from esda_spark.operators.silhouettes import nearest_label
+
+        pts = _points(spark, sf)
+        labels = pts.select(
+            "id", (F.floor((F.col("x") + 180.0) / 90.0)).cast("int").alias("label")
+        )
+        return _round(
+            nearest_label(pts, labels, ["x", "y"]), ["dissim"],
+        )
+
     # ---- non-SQL-expressible (conditional permutation / ANN) ----
+
+    def dbscan_q(spark, sf):
+        from esda_spark.operators.adbscan import dbscan
+
+        return dbscan(_points(spark, sf), eps=2.0, min_samples=4,
+                      cell_size=2.0)
+
+    def adbscan_q(spark, sf):
+        from esda_spark.operators.adbscan import adbscan
+
+        return adbscan(_points(spark, sf), eps=2.0, min_samples=4,
+                       pct_exact=0.5, reps=3, seed=7, cell_size=2.0)
+
+    def local_crossplot_q(spark, sf):
+        return lstats.local_crossplot(
+            _points(spark, sf), _edges(spark, sf), "y_cont",
+            permutations=99, seed=12345,
+        )
+
+    def moran_local_partial_q(spark, sf):
+        return lstats.moran_local_partial(
+            _points(spark, sf), _edges(spark, sf), "y_cont", ["e"],
+            permutations=99, seed=12345,
+        )
+
+    def moran_local_conditional_q(spark, sf):
+        return lstats.moran_local_conditional(
+            _points(spark, sf), _edges(spark, sf), "y_cont", ["e", "b"],
+            permutations=99, seed=12345,
+        )
+
+    def np_mixture_q(spark, sf):
+        from esda_spark.operators.mixture import np_mixture_smoother
+
+        return np_mixture_smoother(
+            _points(spark, sf), k=20, numiter=500
+        ).select("id", "r", "category")
 
     def lisa_full(spark, sf):
         res = lstats.moran_local(
@@ -496,6 +642,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_local_bv_observed": moran_local_bv_observed,
         "ljc_bv_observed": ljc_bv_observed,
         "ljc_mv_observed": ljc_mv_observed,
+        "distance_band_edges": distance_band_q,
+        "weights_transforms": weights_transforms,
+        "kernel_smoother": kernel_smoother_q,
+        "isolation": isolation_q,
+        "spatial_filtering": spatial_filtering_q,
+        "age_standardization": age_std_q,
+        "moran_bv_matrix": moran_bv_matrix_q,
+        "raster_tiling": raster_tiling_q,
+        "silhouette_alist": silhouette_q,
+        "nearest_label": nearest_label_q,
+        "dbscan": dbscan_q,
+        "adbscan": adbscan_q,
+        "local_crossplot": local_crossplot_q,
+        "moran_local_partial": moran_local_partial_q,
+        "moran_local_conditional": moran_local_conditional_q,
+        "np_mixture": np_mixture_q,
         "knn_join": knn_join_q,
         "overlay_areas_grids": overlay_areas_grids,
         "spatial_eb": spatial_eb_oracle,
@@ -1101,6 +1263,160 @@ FROM pts p LEFT JOIN (
   FROM edges e JOIN p2 pf ON pf.id = e.focal JOIN p2 pn ON pn.id = e.neighbor
   GROUP BY 1
 ) s ON s.id = p.id
+"""
+
+    sql["distance_band_edges"] = f"WITH {P}" + """
+SELECT a.id AS focal, b.id AS neighbor
+FROM pts a JOIN pts b
+  ON a.id <> b.id
+ AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 144.0
+"""
+
+    sql["weights_transforms"] = _with(P, E) + """
+, s0t AS (SELECT sum(weight) AS s0 FROM edges)
+, v1 AS (
+  SELECT focal, neighbor,
+         weight / sqrt(sum(weight*weight) OVER (PARTITION BY focal)) AS wv
+  FROM edges
+)
+, vt AS (SELECT sum(wv) AS q, count(DISTINCT focal) AS nf FROM v1)
+SELECT e.focal, e.neighbor,
+       round(e.weight / s0t.s0, 9) AS w_d,
+       round(v1.wv * (vt.nf / vt.q), 9) AS w_v
+FROM edges e
+JOIN v1 ON v1.focal = e.focal AND v1.neighbor = e.neighbor,
+s0t, vt
+"""
+
+    sql["kernel_smoother"] = f"WITH {P}" + """
+, pairs AS (
+  SELECT a.id, p_b.e AS be, p_b.b AS bb,
+         1.0 - sqrt((a.x-p_b.x)*(a.x-p_b.x)+(a.y-p_b.y)*(a.y-p_b.y))/15.0
+           AS w
+  FROM pts a JOIN pts p_b
+    ON (a.x-p_b.x)*(a.x-p_b.x)+(a.y-p_b.y)*(a.y-p_b.y) <= 225.0
+)
+SELECT id, round(sum(w * be) / sum(w * bb), 9) AS r
+FROM pairs GROUP BY 1
+"""
+
+    sql["isolation"] = f"WITH {P}" + f"""
+, higher AS (
+  SELECT a.id, b.id AS nid,
+         sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)) AS dist,
+         row_number() OVER (
+           PARTITION BY a.id
+           ORDER BY sqrt((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)), b.id
+         ) AS rk
+  FROM pts a JOIN pts b ON b.y_cont > a.y_cont
+)
+SELECT p.id, round(h.dist, {ND}) AS isolation, h.nid AS nearest_higher
+FROM pts p LEFT JOIN higher h ON h.id = p.id AND h.rk = 1
+"""
+
+    sql["spatial_filtering"] = f"WITH {P}" + """
+, grid AS (
+  SELECT CAST(i AS BIGINT) AS gid,
+         -180.0 + (i // 6) * 60.0 AS gx, -90.0 + (i % 6) * 30.0 AS gy
+  FROM (SELECT unnest(range(36)) AS i)
+)
+SELECT g.gid, round(sum(p.e) / sum(p.b), 9) AS r
+FROM grid g LEFT JOIN pts p
+  ON (g.gx-p.x)*(g.gx-p.x)+(g.gy-p.y)*(g.gy-p.y) <= 900.0
+GROUP BY 1
+"""
+
+    sql["age_standardization"] = f"WITH {P}" + """
+, lng AS (
+  SELECT id % 50 AS id, e, b, e * 0.5 + 1.0 AS s_e, b * 2.0 AS s_b
+  FROM pts
+)
+SELECT id, round(sum(e) / sum(b), 9) AS crude,
+       round(sum(e) / sum(b * (s_e / s_b)), 9) AS smr
+FROM lng GROUP BY 1
+"""
+
+    def _bv_sql(xc: str, yc: str) -> str:
+        return f"""
+  (SELECT sum(zt.zx * lagt.lag) / ((SELECT count(*) FROM pts) - 1)
+   FROM (SELECT id,
+           ({xc} - (SELECT avg({xc}) FROM pts))
+             / (SELECT stddev_samp({xc}) FROM pts) AS zx FROM pts) zt
+   JOIN (SELECT w.focal AS id, sum(w.weight * z.zy) AS lag
+         FROM w JOIN (SELECT id,
+             ({yc} - (SELECT avg({yc}) FROM pts))
+               / (SELECT stddev_samp({yc}) FROM pts) AS zy FROM pts) z
+           ON z.id = w.neighbor GROUP BY 1) lagt USING (id))
+"""
+
+    sql["moran_bv_matrix"] = _with(P, E, W) + f"""
+SELECT round({_bv_sql('y_cont', 'e')}, {ND}) AS i_xy,
+       round({_bv_sql('e', 'y_cont')}, {ND}) AS i_yx
+"""
+
+    sql["raster_tiling"] = """
+WITH cells AS (
+  SELECT CAST(i AS BIGINT) AS id,
+         -180.0 + ((i % 16) + 0.5) * 22.5 AS x,
+         -90.0 + ((i // 16) + 0.5) * 22.5 AS y
+  FROM (SELECT unnest(range(128)) AS i)
+)
+SELECT id,
+  CAST(floor((y + 90.0) / 45.0) AS BIGINT) * 4
+  + CAST(floor((x + 180.0) / 90.0) AS BIGINT) AS poly_id
+FROM cells
+"""
+
+    _LABS = """
+labs AS (SELECT id, CAST(floor((x + 180.0)/90.0) AS INT) AS label FROM pts),
+sizes AS (SELECT label, count(*) AS n_c FROM labs GROUP BY 1)
+"""
+
+    sql["silhouette_alist"] = _with(P, E, _LABS) + f"""
+, el AS (
+  SELECT e.focal, e.neighbor, lf.label AS label_focal, ln.label AS label_neighbor
+  FROM edges e JOIN labs lf ON lf.id = e.focal
+              JOIN labs ln ON ln.id = e.neighbor
+)
+, need AS (
+  SELECT focal AS id, label_focal AS lab FROM el
+  UNION SELECT focal, label_neighbor FROM el
+)
+, dm AS (
+  SELECT n.id, n.lab,
+         avg(sqrt((pf.x-pm.x)*(pf.x-pm.x)+(pf.y-pm.y)*(pf.y-pm.y))) AS dmean
+  FROM need n
+  JOIN pts pf ON pf.id = n.id
+  JOIN labs lm ON lm.label = n.lab
+  JOIN pts pm ON pm.id = lm.id
+  GROUP BY 1, 2
+)
+SELECT el.focal, el.neighbor,
+  round(CASE WHEN el.label_focal = el.label_neighbor THEN 0.0
+        ELSE (dother.dmean - down.dmean)
+             / greatest(dother.dmean, down.dmean) END, {ND}) AS silhouette
+FROM el
+LEFT JOIN dm down ON down.id = el.focal AND down.lab = el.label_focal
+LEFT JOIN dm dother ON dother.id = el.focal AND dother.lab = el.label_neighbor
+"""
+
+    sql["nearest_label"] = f"WITH {P}, {_LABS.strip()}" + f"""
+, agg AS (
+  SELECT la.id, lm.label AS cand,
+         sum(sqrt((pf.x-pm.x)*(pf.x-pm.x)+(pf.y-pm.y)*(pf.y-pm.y)))
+           / greatest(s.n_c - 1, 1) AS dmean
+  FROM labs la
+  JOIN pts pf ON pf.id = la.id
+  JOIN labs lm ON lm.label <> la.label
+  JOIN pts pm ON pm.id = lm.id
+  JOIN sizes s ON s.label = lm.label
+  GROUP BY 1, 2, s.n_c
+)
+SELECT id, cand AS nearest_label, round(dmean, {ND}) AS dissim FROM (
+  SELECT id, cand, dmean,
+         row_number() OVER (PARTITION BY id ORDER BY dmean, cand) AS rk
+  FROM agg
+) WHERE rk = 1
 """
 
     sql["knn_join"] = (
