@@ -18,16 +18,17 @@ Re-expression of the reference engine (``crand.py:59-243`` driver,
    with ``groupBy(focal).agg(sort_array(collect_list(...)))`` — the
    shuffle plays the role of the reference's joblib chunking
    (``crand.py:360-459``); one Arrow batch ≈ one chunk.
-4. A ``mapInPandas`` kernel evaluates all k simulations for a site
-   batch with NO per-site 3-D gather: the reference's masked draw
+4. A ``mapInPandas`` kernel evaluates all k simulations with NO
+   (m, k, c) temporaries at all: the reference's masked draw
    ``z_no_i[P] = z[P + (P >= i)]`` (``_prepare_univariate``,
-   ``crand.py:584-592``) decomposes into a site-independent part plus
-   a boolean correction,
-
-       lag_i = w_i @ z[P].T  +  einsum(P >= i, z[P+1]-z[P], w_i)
-
-   so each chunk is one BLAS matmul + one einsum over an (m,k,c)
-   boolean — the hot path never materializes an (m,k,c) float gather.
+   ``crand.py:584-592``) has prefix-of-ones structure once sites are
+   sorted by id — each (rep, slot) pair of the shared table switches
+   from z[P] to z[P+1] at exactly one site.  The sweep keeps a
+   (c, k_blk) accumulator S (rank-1-updated at each switch) and emits
+   each segment's lag block as ONE dgemm ``w_blk @ S``; for counting
+   alternatives the significance streams over rep blocks with O(m)
+   count state, so per-segment working sets stay cache-resident and
+   the kernel scales with cores, not RAM bandwidth.
 
 The RNG stream is ``numpy.random.default_rng(seed)`` rather than the
 reference's numba ``np.random.choice`` — draws are statistically
