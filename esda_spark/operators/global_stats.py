@@ -39,28 +39,53 @@ from esda_spark.operators.weights import transform_weights, weights_summary
 # ---------------------------------------------------------------------------
 
 def permuted_values(
-    values: DataFrame, value_col: str, permutations: int, seed: int
+    values: DataFrame, value_col: str, permutations: int, seed: int,
+    buckets: int | None = None,
 ) -> DataFrame:
     """(rep, id, zp): ``permutations`` independent uniform permutations.
 
-    Permutation r assigns row i the value held by the row whose dense
-    rank under ``xxhash64(id, r, seed)`` equals i's position.  Each
-    replicate sorts independently (shuffle partitioned by rep), so the
-    work parallelizes across replicates; requires dense ids 0..n-1 so
-    the positional join needs no global ordering window.
+    Permutation r assigns row i the value held by the row at i's
+    position in a random total order.  The order is *bucket-major*:
+    rows hash to ``_h = xxhash64(id, rep, seed)``, bucket
+    ``_b = pmod(_h, B)``, and the order is (_b, _h, id).  Because _h is
+    uniform random, any deterministic tie-free order keyed on it
+    induces a uniform permutation — bucket-major order is exactly as
+    uniform as a single global sort on _h, but ranks only need a
+    window over (rep, _b) groups of ~n/B rows each.
+
+    Scale: no per-replicate single-task sort (the old form windowed
+    over partitionBy(rep), putting each replicate's full n-row sort in
+    one task).  Work per task is n/B rows; bucket offsets are a k x B
+    metadata aggregate joined back via broadcast; the position->value
+    join is a plain equi-join that AQE broadcasts when values is small.
+    Requires dense ids 0..n-1.
     """
     spark = values.sparkSession
     vals = values.select("id", F.col(value_col).alias("_z"))
     reps = spark.range(permutations).toDF("rep")
+    n_buckets = buckets or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     keyed = vals.crossJoin(reps).select(
         "rep", "id", F.xxhash64("id", "rep", F.lit(seed)).alias("_h")
+    ).withColumn("_b", F.pmod(F.col("_h"), F.lit(n_buckets)))
+    counts = keyed.groupBy("rep", "_b").count()
+    off_win = (
+        Window.partitionBy("rep").orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    win = Window.partitionBy("rep").orderBy("_h", "id")
-    ranked = keyed.select(
-        "rep", "id", (F.row_number().over(win) - 1).alias("_pos")
+    offsets = counts.select(
+        "rep", "_b",
+        F.coalesce(F.sum("count").over(off_win), F.lit(0)).alias("_off"),
+    )
+    rank_win = Window.partitionBy("rep", "_b").orderBy("_h", "id")
+    ranked = (
+        keyed.withColumn("_rk", F.row_number().over(rank_win) - 1)
+        .join(F.broadcast(offsets), ["rep", "_b"])
+        .select("rep", "id", (F.col("_off") + F.col("_rk")).alias("_pos"))
     )
     src = vals.select(F.col("id").alias("_pos"), F.col("_z").alias("zp"))
-    return ranked.join(F.broadcast(src), "_pos").select("rep", "id", "zp")
+    return ranked.join(src, "_pos").select("rep", "id", "zp")
 
 
 def _edge_rep_values(edges: DataFrame, perm: DataFrame) -> DataFrame:
