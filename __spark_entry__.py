@@ -548,6 +548,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             nearest_label(pts, labels, ["x", "y"]), ["dissim"],
         )
 
+    def boundary_silhouette_q(spark, sf):
+        from esda_spark.operators.silhouettes import boundary_silhouette
+
+        pts = _points(spark, sf)
+        labels = pts.select(
+            "id", (F.floor((F.col("x") + 180.0) / 90.0)).cast("int").alias("label")
+        )
+        return _round(
+            boundary_silhouette(pts, labels, _edges(spark, sf), ["x", "y"]),
+            ["boundary_silhouette"],
+        )
+
+    def path_silhouette_q(spark, sf):
+        from esda_spark.operators.silhouettes import path_silhouette
+
+        pts = _points(spark, sf)
+        labels = pts.select(
+            "id", (F.floor((F.col("x") + 180.0) / 90.0)).cast("int").alias("label")
+        )
+        return path_silhouette(pts, labels, _edges(spark, sf), ["x", "y"])
+
     # ---- non-SQL-expressible (conditional permutation / ANN) ----
 
     def dbscan_q(spark, sf):
@@ -692,8 +713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_eb": spatial_eb_oracle,
         "shape_stats_rotated": shape_stats_rotated,
         "correlogram_moran": correlogram_moran,
+        "boundary_silhouette": boundary_silhouette_q,
         # non-oracle (seeded permutation / ANN / iterative) — rows-only
         "lisa_full": lisa_full,
+        "path_silhouette": path_silhouette_q,
         "dbscan": dbscan_q,
         "adbscan": adbscan_q,
         "local_crossplot": local_crossplot_q,
@@ -1452,6 +1475,45 @@ SELECT id, cand AS nearest_label, round(dmean, {ND}) AS dissim FROM (
          row_number() OVER (PARTITION BY id ORDER BY dmean, cand) AS rk
   FROM agg
 ) WHERE rk = 1
+"""
+
+    sql["boundary_silhouette"] = _with(P, E, _LABS) + f"""
+, bc AS (
+  SELECT DISTINCT e.focal, lf.label AS own, ln.label AS cand
+  FROM edges e JOIN labs lf ON lf.id = e.focal
+              JOIN labs ln ON ln.id = e.neighbor
+  WHERE lf.label <> ln.label
+)
+, bids AS (SELECT DISTINCT focal, own FROM bc)
+, own_mean AS (
+  SELECT b.focal, b.own,
+         sum(sqrt((pf.x-pm.x)*(pf.x-pm.x)+(pf.y-pm.y)*(pf.y-pm.y))) AS dsum,
+         count(*) AS n_own
+  FROM bids b
+  JOIN pts pf ON pf.id = b.focal
+  JOIN labs lm ON lm.label = b.own
+  JOIN pts pm ON pm.id = lm.id
+  GROUP BY 1, 2
+)
+, nbr AS (
+  SELECT bc.focal, bc.own, bc.cand,
+         avg(sqrt((pf.x-pm.x)*(pf.x-pm.x)+(pf.y-pm.y)*(pf.y-pm.y))) AS dmean
+  FROM bc
+  JOIN pts pf ON pf.id = bc.focal
+  JOIN labs lm ON lm.label = bc.cand
+  JOIN pts pm ON pm.id = lm.id
+  GROUP BY 1, 2, 3
+)
+, nmin AS (SELECT focal, own, min(dmean) AS b FROM nbr GROUP BY 1, 2)
+, scored AS (
+  SELECT o.focal,
+         CASE WHEN o.n_own <= 1 THEN 0.0
+              ELSE (n.b - o.dsum/(o.n_own-1))
+                   / greatest(n.b, o.dsum/(o.n_own-1)) END AS bs
+  FROM own_mean o JOIN nmin n ON n.focal = o.focal AND n.own = o.own
+)
+SELECT p.id, round(coalesce(s.bs, 0.0), {ND}) AS boundary_silhouette
+FROM pts p LEFT JOIN scored s ON s.focal = p.id
 """
 
     sql["knn_join"] = (
