@@ -387,15 +387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from esda_spark.operators.shape import shape_stats
 
         polys = rotated_tiling(spark, 6, (0.0, 0.0, 60.0, 60.0), theta=0.4)
-        res = shape_stats(polys).select(
-            "poly_id", "area", "perimeter", "isoperimetric_quotient",
-            "rectangularity", "convex_hull_ratio",
-        )
-        return _round(
-            res,
-            ["area", "perimeter", "isoperimetric_quotient",
-             "rectangularity", "convex_hull_ratio"],
-        )
+        cols = [
+            "area", "perimeter", "isoperimetric_quotient",
+            "rectangularity", "convex_hull_ratio", "squareness",
+            "moment_of_inertia", "nmi", "moa_ratio",
+            "reflexive_angle_ratio",
+        ]
+        return _round(shape_stats(polys).select("poly_id", *cols), cols)
 
     def correlogram_moran(spark, sf):
         from esda_spark.operators.correlogram import correlogram
@@ -1583,13 +1581,21 @@ FROM base LEFT JOIN vs ON vs.id = base.id
 
     # rotated 6x6 tiling of a 60x60 bbox with margin 1.5 -> squares of
     # side 15: every shape measure is closed-form and rotation-invariant
+    # closed-form values for a 15x15 square (rotation-invariant):
+    # J = w*h*(w^2+h^2)/12 = 8437.5; nmi = A^2/(2 pi J) = 3/pi;
+    # moa_ratio = (pi/2) * (P/(2 pi))^4 / J = 48/pi^3; no reflex angles
     sql["shape_stats_rotated"] = f"""
 SELECT CAST(i AS BIGINT) AS poly_id,
        round(225.0, {ND}) AS area,
        round(60.0, {ND}) AS perimeter,
        round(pi() / 4, {ND}) AS isoperimetric_quotient,
        round(1.0, {ND}) AS rectangularity,
-       round(1.0, {ND}) AS convex_hull_ratio
+       round(1.0, {ND}) AS convex_hull_ratio,
+       round(1.0, {ND}) AS squareness,
+       round(8437.5, {ND}) AS moment_of_inertia,
+       round(3.0 / pi(), {ND}) AS nmi,
+       round(48.0 / (pi() * pi() * pi()), {ND}) AS moa_ratio,
+       round(0.0, {ND}) AS reflexive_angle_ratio
 FROM (SELECT unnest(range(36)) AS i)
 """
 

@@ -14,7 +14,17 @@ radii_ratio (:279), diameter_ratio (:291, rotated), length_width_diff
 (:312), boundary_amplitude (:330), convex_hull_ratio (:346),
 fractal_dimension (:356, square support), rectangularity (:411),
 shape_index (:433), equivalent_rectangular_index (:452),
-form_factor (:479).
+form_factor (:479), squareness (:381), moment_of_inertia (:505,
+Godwin-1980 shoelace second moments about the centroid),
+second_areal_moment (:623, alias of the unnormalized moment),
+nmi (:961, A^2 / (2 pi J)), moa_ratio (:948, circle-of-same-perimeter
+polar moment over J), reflexive_angle_ratio (:1168; ring canonicalized
+CCW so reflex vertices are exactly those with positive vertex cross
+product — the reference's sign test depends on stored orientation).
+
+Collection-level :func:`moment_of_inertia_global` (:974) is a Spark
+aggregation of per-ring origin moments (sum A, A*cx, A*cy, Ixx0, Iyy0,
+then one parallel-axis shift on the driver) — no per-geometry collect.
 """
 
 from __future__ import annotations
@@ -35,6 +45,42 @@ def ring_perimeter(xs: np.ndarray, ys: np.ndarray) -> float:
     dx = np.roll(xs, -1) - xs
     dy = np.roll(ys, -1) - ys
     return float(np.sqrt(dx * dx + dy * dy).sum())
+
+
+def ring_moments(xs: np.ndarray, ys: np.ndarray) -> tuple:
+    """(A, cx, cy, Ixx0, Iyy0): signed shoelace area, centroid, and
+    second moments of area about the ORIGIN (reference
+    ``shape.py:1114-1166``, Godwin 1980).  Caller applies the parallel
+    axis theorem; all terms flip sign together under ring reversal."""
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    cross = xs * y2 - x2 * ys
+    a = cross.sum() / 2.0
+    cx = float(((xs + x2) * cross).sum() / (6.0 * a)) if a else 0.0
+    cy = float(((ys + y2) * cross).sum() / (6.0 * a)) if a else 0.0
+    ixx0 = float(((ys * ys + ys * y2 + y2 * y2) * cross).sum() / 12.0)
+    iyy0 = float(((xs * xs + xs * x2 + x2 * x2) * cross).sum() / 12.0)
+    return float(a), cx, cy, ixx0, iyy0
+
+
+def polar_moment(xs: np.ndarray, ys: np.ndarray) -> float:
+    """J = Ixx + Iyy about the ring centroid, orientation-normalized."""
+    a, cx, cy, ixx0, iyy0 = ring_moments(xs, ys)
+    if a < 0:  # canonicalize CCW (reference orients before computing)
+        a, ixx0, iyy0 = -a, -ixx0, -iyy0
+    return (ixx0 - a * cy * cy) + (iyy0 - a * cx * cx)
+
+
+def reflex_ratio(xs: np.ndarray, ys: np.ndarray) -> float:
+    """Fraction of reflex interior angles (reference ``shape.py:
+    1168-1181`` returns mean(is_reflex)).  Ring is canonicalized CCW;
+    a vertex is reflex iff cross(prev-cur, next-cur) > 0."""
+    a, *_ = ring_moments(xs, ys)
+    if a < 0:
+        xs, ys = xs[::-1], ys[::-1]
+    px, py = np.roll(xs, 1) - xs, np.roll(ys, 1) - ys
+    nx, ny = np.roll(xs, -1) - xs, np.roll(ys, -1) - ys
+    cross = px * ny - py * nx
+    return float((cross > 0).mean())
 
 
 def convex_hull(pts: np.ndarray) -> np.ndarray:
@@ -140,6 +186,7 @@ def _one_polygon_stats(xs: np.ndarray, ys: np.ndarray, height: float) -> dict:
     bw = xs.max() - xs.min()
     bh = ys.max() - ys.min()
     V = A * height
+    J = polar_moment(xs, ys)
     return {
         "area": A,
         "perimeter": P,
@@ -160,6 +207,13 @@ def _one_polygon_stats(xs: np.ndarray, ys: np.ndarray, height: float) -> dict:
             math.sqrt(A / mrr_A) * (mrr_P / P) if mrr_A and P else np.nan
         ),
         "form_factor": A / V ** (2 / 3) if V > 0 else 0.0,
+        "squareness": (4 * math.sqrt(A) / P) ** 2 if P else np.nan,
+        "moment_of_inertia": J,
+        "second_areal_moment": J,
+        "nmi": A * A / (2 * math.pi * J) if J else np.nan,
+        "moa_ratio": (math.pi * 0.5 * (P / (2 * math.pi)) ** 4 / J
+                      if J else np.nan),
+        "reflexive_angle_ratio": reflex_ratio(xs, ys),
     }
 
 
@@ -186,3 +240,55 @@ def shape_stats(polygons: DataFrame, height: float = 1.0) -> DataFrame:
 
     schema = "poly_id long, " + ", ".join(f"{c} double" for c in _STAT_COLS)
     return polygons.select("poly_id", "xs", "ys").mapInPandas(kernel, schema=schema)
+
+
+def moment_of_inertia_global(
+    polygons: DataFrame, normalize: bool = False,
+    ref_pt: tuple[float, float] | None = None,
+) -> float:
+    """Polar second moment of area of the ENTIRE collection about its
+    combined centroid (reference ``shape.py:974-1060``).
+
+    Distributed: each polygon contributes its CCW-normalized origin
+    moments (A, A*cx, A*cy, Ixx0, Iyy0) from one Arrow kernel pass;
+    a single global aggregate sums them and the parallel-axis shift is
+    scalar driver math — no geometry ever leaves the executors.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for row in pdf.itertuples(index=False):
+                xs = np.asarray(row.xs, dtype=np.float64)
+                ys = np.asarray(row.ys, dtype=np.float64)
+                a, cx, cy, ixx0, iyy0 = ring_moments(xs, ys)
+                if a < 0:
+                    a, ixx0, iyy0 = -a, -ixx0, -iyy0
+                rows.append((a, a * cx, a * cy, ixx0, iyy0))
+            yield pd.DataFrame(
+                rows, columns=["a", "mx", "my", "ixx0", "iyy0"]
+            )
+
+    import pyspark.sql.functions as F
+
+    agg = (
+        polygons.select("xs", "ys")
+        .mapInPandas(kernel,
+                     "a double, mx double, my double, "
+                     "ixx0 double, iyy0 double")
+        .agg(F.sum("a").alias("a"), F.sum("mx").alias("mx"),
+             F.sum("my").alias("my"), F.sum("ixx0").alias("ixx0"),
+             F.sum("iyy0").alias("iyy0"))
+        .collect()[0]
+    )
+    a_tot = agg["a"]
+    cx, cy = agg["mx"] / a_tot, agg["my"] / a_tot
+    j = (agg["ixx0"] - a_tot * cy * cy) + (agg["iyy0"] - a_tot * cx * cx)
+    if ref_pt is not None:
+        dx, dy = cx - ref_pt[0], cy - ref_pt[1]
+        j += a_tot * (dx * dx + dy * dy)
+    if normalize:
+        j = a_tot * a_tot / (2 * math.pi * j)
+    return float(j)

@@ -193,3 +193,60 @@ def test_moran_local_conditional(spark):
     assert all(r.labels in (1, 2, 3, 4) for r in rows)
     p = np.array([r.p_sim for r in rows])
     assert ((p > 0) & (p <= 1)).all()
+
+
+def test_shape_inertial_measures(spark):
+    from esda_spark.operators.shape import moment_of_inertia_global
+
+    # w x h rectangle: J = w*h*(w^2 + h^2)/12 about the centroid
+    w, h = 3.0, 2.0
+    rect = spark.createDataFrame(
+        [(0, [0.0, w, w, 0.0], [0.0, 0.0, h, h])],
+        "poly_id long, xs array<double>, ys array<double>",
+    )
+    r = shape_stats(rect).collect()[0]
+    J = w * h * (w * w + h * h) / 12
+    A, P = w * h, 2 * (w + h)
+    assert r.moment_of_inertia == pytest.approx(J)
+    assert r.second_areal_moment == pytest.approx(J)
+    assert r.nmi == pytest.approx(A * A / (2 * math.pi * J))
+    assert r.moa_ratio == pytest.approx(
+        math.pi * 0.5 * (P / (2 * math.pi)) ** 4 / J)
+    assert r.squareness == pytest.approx((4 * math.sqrt(A) / P) ** 2)
+    assert r.reflexive_angle_ratio == 0.0
+
+    # rotation + translation invariance of J (and CW ring gives same J)
+    th = 0.7
+    c, s = math.cos(th), math.sin(th)
+    xs = [0.0, w, w, 0.0]
+    ys = [0.0, 0.0, h, h]
+    rx = [5 + c * x - s * y for x, y in zip(xs, ys)]
+    ry = [9 + s * x + c * y for x, y in zip(xs, ys)]
+    rot = spark.createDataFrame(
+        [(0, rx, ry), (1, rx[::-1], ry[::-1])],
+        "poly_id long, xs array<double>, ys array<double>",
+    )
+    for rr in shape_stats(rot).collect():
+        assert rr.moment_of_inertia == pytest.approx(J)
+
+    # reflex notch: CCW pentagon with one reflex vertex -> ratio 1/5
+    notch = spark.createDataFrame(
+        [(0, [0.0, 2.0, 2.0, 1.0, 0.0], [0.0, 0.0, 2.0, 1.0, 2.0])],
+        "poly_id long, xs array<double>, ys array<double>",
+    )
+    rn = shape_stats(notch).collect()[0]
+    assert rn.reflexive_angle_ratio == pytest.approx(0.2)
+
+    # global moment: two unit squares side by side == one 2x1 rectangle
+    two = spark.createDataFrame(
+        [(0, [0.0, 1.0, 1.0, 0.0], [0.0, 0.0, 1.0, 1.0]),
+         (1, [1.0, 2.0, 2.0, 1.0], [0.0, 0.0, 1.0, 1.0])],
+        "poly_id long, xs array<double>, ys array<double>",
+    )
+    want = 2.0 * 1.0 * (4.0 + 1.0) / 12
+    assert moment_of_inertia_global(two) == pytest.approx(want)
+    # about the origin via ref_pt, parallel-axis shift: J + A*(dx^2+dy^2)
+    assert moment_of_inertia_global(two, ref_pt=(0.0, 0.0)) == pytest.approx(
+        want + 2.0 * (1.0 + 0.25))
+    assert moment_of_inertia_global(two, normalize=True) == pytest.approx(
+        4.0 / (2 * math.pi * want))
