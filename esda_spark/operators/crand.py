@@ -162,6 +162,20 @@ def vec_permutations(max_card: int, n: int, k: int, seed: int) -> np.ndarray:
     return out
 
 
+def _moment_cols(res: dict, obs: np.ndarray, e_sim, v_sim) -> None:
+    from esda_spark.functions.mathx import norm_sf
+
+    se = np.sqrt(v_sim)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z_sim = np.where(se > 0, (obs - e_sim) / se, np.nan)
+    res["E_sim"] = e_sim
+    res["V_sim"] = v_sim
+    res["z_sim"] = z_sim
+    res["p_z_sim"] = np.where(
+        np.isfinite(z_sim), norm_sf(np.abs(z_sim)), np.nan
+    )
+
+
 def conditional_randomization(
     values: DataFrame,
     edges: DataFrame,
@@ -173,14 +187,33 @@ def conditional_randomization(
     island_weight: float = 0.0,
     alternative: str = "directed",
     keep: bool = False,
+    moments: bool = False,
+    mode: str = "broadcast",
+    tiles: int = 64,
 ) -> DataFrame:
     """Per-site pseudo p-values under conditional permutation.
 
     values:   (id, z) or (id, zx, zy, ...) with dense ids 0..n-1
     edges:    transformed weight edges; self-loops become self-weights
     observed: (id, observed) — the statistic being tested
-    Returns (id, p_sim [, sims array<double>]).
+    moments:  also emit E_sim/V_sim/z_sim/p_z_sim per site (reference
+              ``moran.py:1386-1399``; V is the ddof=0 variance of sims)
+    mode:     "broadcast" (exact reference semantics: every site draws
+              from the full n-1 other values; z vector + shared perm
+              table broadcast — caps at ~1e8-1e9 sites/executor heap)
+              or "tiled" (beyond-broadcast deviation: sites hash into
+              ``tiles`` random tiles and draws come from the tile's
+              value pool.  Tiles are uniform random samples of the
+              global value distribution, so the conditional null is
+              statistically equivalent; nothing n-sized ever reaches
+              the driver or a broadcast).
+    Returns (id, p_sim [, moment cols] [, sims array<double>]).
     """
+    if mode == "tiled":
+        return _crand_tiled(
+            values, edges, observed, stat_func, permutations, seed,
+            scaling, island_weight, alternative, keep, moments, tiles,
+        )
     kernel = KERNELS[stat_func]
     spark = values.sparkSession
     sc = spark.sparkContext
@@ -237,7 +270,12 @@ def conditional_randomization(
         .repartition(parallelism)  # the kernel is CPU-bound: spread it
     )
 
-    out_schema = "id long, p_sim double" + (", sims array<double>" if keep else "")
+    out_schema = "id long, p_sim double"
+    if moments:
+        out_schema += (", E_sim double, V_sim double, z_sim double,"
+                       " p_z_sim double")
+    if keep:
+        out_schema += ", sims array<double>"
     kw = dict(
         scaling=float(scaling), island_weight=float(island_weight),
         alternative=alternative, keep=keep, permutations=permutations,
@@ -255,15 +293,150 @@ def conditional_randomization(
             obs = pdf_b["observed"].to_numpy(np.float64)
             selfws = pdf_b["self_weight"].to_numpy(np.float64)
             wl = pdf_b["wlist"].tolist()
-            p_out, sims_out = crand_partition(
+            p_out, sims_out, e_sim, v_sim = crand_partition(
                 ids, obs, selfws, wl, z, P_full, **kw
             )
             res = {"id": ids, "p_sim": p_out}
+            if moments:
+                _moment_cols(res, obs, e_sim, v_sim)
             if kw["keep"]:
                 res["sims"] = sims_out
             yield pd.DataFrame(res)
 
     return base.mapInPandas(run, schema=out_schema)
+
+
+def _crand_tiled(
+    values: DataFrame,
+    edges: DataFrame,
+    observed: DataFrame,
+    stat_func: str,
+    permutations: int,
+    seed: int,
+    scaling: float | None,
+    island_weight: float,
+    alternative: str,
+    keep: bool,
+    moments: bool,
+    tiles: int,
+) -> DataFrame:
+    """Tile-conditional permutation: the beyond-broadcast scale path.
+
+    Sites hash into ``tiles`` random tiles; each site's null draws come
+    from the tile's other values (a uniform random sample of the global
+    distribution) instead of all n-1.  One cogroup shuffle on tile —
+    no n-sized broadcast, no driver collect of the value vector; each
+    tile task runs the identical ``crand_partition`` kernel on a
+    tile-local dense relabeling.  Global constants (the (n-1)/sum(z^2)
+    scaling) stay GLOBAL so statistics remain comparable across tiles.
+    """
+    from pyspark.sql import Window
+
+    zcols = [c for c in values.columns if c != "id"]
+    zfirst = zcols[0]
+    agg = values.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(zfirst) * F.col(zfirst)).alias("ss"),
+    ).collect()[0]
+    n = int(agg["n"])
+    if scaling is None:
+        scaling = (n - 1) / float(agg["ss"])
+
+    tiled = values.withColumn(
+        "tile", F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(tiles))
+    ).withColumn(
+        "lid",
+        F.row_number().over(Window.partitionBy("tile").orderBy("id")) - 1,
+    ).localCheckpoint(eager=False)
+
+    others = edges.where(F.col("focal") != F.col("neighbor"))
+    selfw = (
+        edges.where(F.col("focal") == F.col("neighbor"))
+        .select(F.col("focal").alias("id"), F.col("weight").alias("self_weight"))
+    )
+    gathered = (
+        others.groupBy("focal")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(neighbor, weight))),"
+                " s -> s.weight)"
+            ).alias("wlist")
+        )
+        .withColumnRenamed("focal", "id")
+    )
+    base = (
+        observed.join(gathered, "id", "left")
+        .join(selfw, "id", "left")
+        .join(tiled.select("id", "tile", "lid"), "id")
+        .select(
+            "tile", "lid", "id", "observed",
+            F.coalesce("wlist", F.array()).alias("wlist"),
+            F.coalesce("self_weight", F.lit(0.0)).alias("self_weight"),
+        )
+    )
+    # alias to fresh exprIds: base and pool both read from tiled, and
+    # cogroup on the same attributes trips the ambiguous-self-join check
+    pool = tiled.select(
+        F.col("tile").alias("_t"), F.col("lid").alias("_l"),
+        *[F.col(c).alias(f"_z_{c}") for c in zcols],
+    ).select(
+        F.col("_t").alias("tile"), F.col("_l").alias("lid"),
+        *[F.col(f"_z_{c}").alias(c) for c in zcols],
+    )
+
+    out_schema = "id long, p_sim double"
+    if moments:
+        out_schema += (", E_sim double, V_sim double, z_sim double,"
+                       " p_z_sim double")
+    if keep:
+        out_schema += ", sims array<double>"
+    kw = dict(
+        scaling=float(scaling), island_weight=float(island_weight),
+        alternative=alternative, keep=keep, permutations=permutations,
+        stat_func=stat_func,
+    )
+
+    def run_tile(key, base_pdf, pool_pdf):
+        tile = int(key[0])
+        if len(base_pdf) == 0 or len(pool_pdf) == 0:
+            return pd.DataFrame(
+                {c.split(" ")[0]: [] for c in out_schema.split(", ")}
+            )
+        pool_sorted = pool_pdf.sort_values("lid")
+        z = pool_sorted[zcols].to_numpy(np.float64)
+        if z.shape[1] == 1:
+            z = z[:, 0]
+        n_t = len(pool_sorted)
+        wl = base_pdf["wlist"].tolist()
+        max_card = max((len(w) for w in wl), default=1) or 1
+        if max_card >= n_t - 1:
+            raise ValueError(
+                f"tile {tile} has {n_t} sites but a site with {max_card} "
+                "neighbors; use fewer tiles so each tile's pool exceeds "
+                "the max cardinality"
+            )
+        P_full = vec_permutations(
+            max_card, n_t, kw["permutations"],
+            seed ^ (0x9E3779B9 * (tile + 1) & 0x7FFFFFFF),
+        )
+        lids = base_pdf["lid"].to_numpy(np.int64)
+        obs = base_pdf["observed"].to_numpy(np.float64)
+        selfws = base_pdf["self_weight"].to_numpy(np.float64)
+        p_out, sims_out, e_sim, v_sim = crand_partition(
+            lids, obs, selfws, wl, z, P_full, **kw
+        )
+        res = {"id": base_pdf["id"].to_numpy(np.int64), "p_sim": p_out}
+        if moments:
+            _moment_cols(res, obs, e_sim, v_sim)
+        if kw["keep"]:
+            res["sims"] = sims_out
+        return pd.DataFrame(res)
+
+    return (
+        base.groupBy("tile")
+        .cogroup(pool.groupBy("tile"))
+        .applyInPandas(run_tile, schema=out_schema)
+    )
 
 
 def crand_partition(
@@ -343,6 +516,8 @@ def crand_partition(
     island_mask = cards == 0
     cards = np.maximum(cards, 1)
     p_out = np.empty(m_all, dtype=np.float64)
+    e_out = np.empty(m_all, dtype=np.float64)
+    v_out = np.empty(m_all, dtype=np.float64)
     sims_out = [None] * m_all if keep else None
 
     order = np.argsort(ids, kind="stable")
@@ -379,6 +554,8 @@ def crand_partition(
         if streaming:
             cnt_ge = np.zeros(m, dtype=np.int64)
             cnt_le = np.zeros(m, dtype=np.int64)
+            s1 = np.zeros(m)
+            s2 = np.zeros(m)
             for kb in range(0, k, kb_size):
                 Pb = P_full[kb:kb + kb_size, :c_max]
                 for blk, lags in sweep_blocks(Pb, i_sel, wpad, m):
@@ -389,6 +566,10 @@ def crand_partition(
                     ob = obs_sel[blk][:, None]
                     cnt_ge[blk] += (sims >= ob).sum(axis=1)
                     cnt_le[blk] += (sims <= ob).sum(axis=1)
+                    s1[blk] += sims.sum(axis=1)
+                    s2[blk] += (sims * sims).sum(axis=1)
+            e_out[sel] = s1 / k
+            v_out[sel] = np.maximum(s2 / k - (s1 / k) ** 2, 0.0)
             if alternative == "greater":
                 p = (cnt_ge + 1.0) / (k + 1.0)
             elif alternative == "lesser":
@@ -410,7 +591,9 @@ def crand_partition(
                 p_out[rows] = permutation_significance(
                     obs[rows], sims, alternative
                 )
+                e_out[rows] = sims.mean(axis=1)
+                v_out[rows] = sims.var(axis=1)
                 if keep:
                     for r, s in enumerate(rows):
                         sims_out[s] = sims[r].tolist()
-    return p_out, sims_out
+    return p_out, sims_out, e_out, v_out

@@ -59,8 +59,10 @@ def moran_local(
     geoda_quads: bool = False,
     alternative: str = "directed",
     keep_simulations: bool = False,
+    moments: bool = True,
 ) -> DataFrame:
-    """Columns: id, Is, q, lag, EI, VI, EIc, VIc, p_sim.
+    """Columns: id, Is, q, lag, EI, VI, EIc, VIc, p_sim and (with
+    ``moments``) E_sim/V_sim/z_sim/p_z_sim (``moran.py:1386-1399``).
 
     z standardized by the population std (``moran.py:1352-1357``,
     ddof=0); quadrants per ``__quads`` (``moran.py:1412-1422``),
@@ -131,7 +133,7 @@ def moran_local(
             zvals, w, base.select("id", F.col("Is").alias("observed")),
             "moran_local", permutations=permutations, seed=seed,
             scaling=(n - 1) / den, alternative=alternative,
-            keep=keep_simulations,
+            keep=keep_simulations, moments=moments,
         )
         base = base.join(p, "id", "left")
     return base.drop("wi", "wi2")
@@ -265,8 +267,10 @@ def g_local(
     permutations: int = 999,
     seed: int = 12345,
     alternative: str = "directed",
+    moments: bool = True,
 ) -> DataFrame:
-    """Columns: id, Gs, EGs, VGs, Zs, p_norm, p_sim.
+    """Columns: id, Gs, EGs, VGs, Zs, p_norm, p_sim and (with
+    ``moments``) E_sim/V_sim/z_sim/p_z_sim.
 
     Gi: G_i = (Wy)_i / (sum y - y_i); Gi*: self-weight included and
     denominator sum y (``getisord.py:445-481``).  The star variant adds
@@ -312,7 +316,7 @@ def g_local(
             base.select("id", F.col("Gs").alias("observed")),
             "g_local_star" if star else "g_local",
             permutations=permutations, seed=seed, scaling=y_sum,
-            alternative=alternative,
+            alternative=alternative, moments=moments,
         )
         base = base.join(p, "id", "left")
     return base.drop("wi", "wi2")

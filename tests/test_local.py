@@ -209,3 +209,83 @@ def test_crand_alternatives_invariants(fx):
         (np.abs(ps["directed"] - ps["lesser"]) < 1e-12)
         | (np.abs(ps["directed"] - ps["greater"]) < 1e-12)
     ).all()
+
+
+def test_crand_moment_columns(fx):
+    # z_sim/p_z_sim parity: E/V from keep=True sims rows must equal the
+    # streaming accumulators' E_sim/V_sim (reference moran.py:1386-1399)
+    res = ls.moran_local(
+        fx["pts"], fx["edges"], "y_cont", permutations=199, seed=5,
+        keep_simulations=True, moments=True,
+    ).orderBy("id").collect()
+    from esda_spark.functions.mathx import norm_sf
+
+    for r in res[::5]:
+        sims = np.array(r.sims)
+        assert r.E_sim == pytest.approx(sims.mean(), rel=1e-9)
+        assert r.V_sim == pytest.approx(sims.var(), rel=1e-9, abs=1e-15)
+        if sims.std() > 0:
+            want_z = (r.Is - sims.mean()) / sims.std()
+            assert r.z_sim == pytest.approx(want_z, rel=1e-9)
+            assert r.p_z_sim == pytest.approx(float(norm_sf(abs(want_z))),
+                                              rel=1e-9)
+
+
+def test_crand_streaming_moments_match_keep(fx):
+    # streaming path (keep=False) computes E/V via accumulators; compare
+    from esda_spark.operators.crand import conditional_randomization
+    from esda_spark.operators.weights import transform_weights
+
+    pts, edges = fx["pts"], fx["edges"]
+    agg = pts.agg(F.avg("y_cont"), F.stddev_pop("y_cont")).collect()[0]
+    z = pts.select("id", ((F.col("y_cont") - agg[0]) / agg[1]).alias("z"))
+    w = transform_weights(edges, "R")
+    obs = ls.moran_local(pts, edges, "y_cont", permutations=0).select(
+        "id", F.col("Is").alias("observed"))
+    a = conditional_randomization(z, w, obs, "moran_local", permutations=99,
+                                  seed=42, moments=True)
+    b = conditional_randomization(z, w, obs, "moran_local", permutations=99,
+                                  seed=42, moments=True, keep=True,
+                                  alternative="two-sided")
+    ea = _collect_by_id(a, "E_sim"); eb = _collect_by_id(b, "E_sim")
+    va = _collect_by_id(a, "V_sim"); vb = _collect_by_id(b, "V_sim")
+    np.testing.assert_allclose(ea, eb, rtol=1e-9)
+    np.testing.assert_allclose(va, vb, rtol=1e-9, atol=1e-15)
+
+
+def test_crand_tiled_mode_parity(spark):
+    # tiled tile-conditional nulls should be statistically equivalent to
+    # full conditional permutation: per-site p-values highly correlated,
+    # and significant/insignificant calls mostly agree
+    from esda_spark.operators.crand import conditional_randomization
+    from esda_spark.operators.weights import knn_edges, transform_weights
+
+    rng = np.random.default_rng(11)
+    n = 400
+    xy = rng.uniform(0, 100, size=(n, 2))
+    # spatially autocorrelated field: smooth ramp + noise
+    y = xy[:, 0] / 20.0 + rng.normal(0, 1, n)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(yy), float(v))
+         for i, ((x, yy), v) in enumerate(zip(xy, y))],
+        "id long, x double, y double, y_cont double",
+    )
+    edges = knn_edges(pts, k=6, cell_size=20.0)
+    w = transform_weights(edges, "R")
+    mu, sd = float(y.mean()), float(y.std())
+    z = pts.select("id", ((F.col("y_cont") - mu) / sd).alias("z"))
+    obs = ls.moran_local(pts, edges, "y_cont", permutations=0).select(
+        "id", F.col("Is").alias("observed"))
+    full = _collect_by_id(
+        conditional_randomization(z, w, obs, "moran_local",
+                                  permutations=499, seed=9), "p_sim")
+    tiled = _collect_by_id(
+        conditional_randomization(z, w, obs, "moran_local",
+                                  permutations=499, seed=9,
+                                  mode="tiled", tiles=4), "p_sim")
+    assert len(tiled) == n
+    assert ((tiled > 0) & (tiled <= 1)).all()
+    r = np.corrcoef(full, tiled)[0, 1]
+    assert r > 0.9, r
+    agree = ((full <= 0.05) == (tiled <= 0.05)).mean()
+    assert agree > 0.9, agree
