@@ -40,7 +40,12 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from esda_spark.plans.cells import cell_key, expand_ring, with_cell
+from esda_spark.plans.cells import (
+    cell_key,
+    expand_ring,
+    expand_ring_col,
+    with_cell,
+)
 
 EDGE_COLS = ("focal", "neighbor", "weight")
 
@@ -88,46 +93,82 @@ def knn_edges(
         density_threshold = max(4 * k, 32)
 
     # --- density-level assignment (quadtree split of hot cells) ---
-    # localCheckpoint per level truncates the lineage: without it the
-    # iterative splits + per-round self-joins compound into a plan tree
-    # whose optimization/stringification dominates the wall clock.
-    levels: list[tuple[int, DataFrame]] = []
-    remaining = base
-    lvl = 0
-    while lvl <= max_levels:
-        s = cell_size / (2**lvl)
-        keyed = remaining.withColumn(
-            "_c", cell_key(F.col("x"), F.col("y"), s)
-        )
-        counts = keyed.groupBy("_c").count()
-        keyed = keyed.join(counts, "_c").localCheckpoint(eager=True)
-        sparse = keyed.where(F.col("count") <= density_threshold).select(
-            "id", "x", "y"
-        )
-        dense = keyed.where(F.col("count") > density_threshold).select(
-            "id", "x", "y"
-        )
-        stats_row = keyed.agg(
-            F.sum((F.col("count") <= density_threshold).cast("long")).alias("ns"),
-            F.max("count").alias("mx"),
-        ).collect()[0]
-        if int(stats_row.ns or 0):
-            levels.append((lvl, sparse))
-        max_count = int(stats_row.mx or 0)
-        if max_count <= density_threshold or lvl == max_levels:
-            remaining = None if max_count <= density_threshold else dense
-            break
-        remaining = dense
-        # jump straight to the resolution where the densest cell would
-        # hold ~threshold points (area scales 4x per level), instead of
-        # one groupBy-count job per intermediate level
-        jump = max(
-            1, math.ceil(math.log(max_count / density_threshold, 4))
-        )
-        lvl = min(lvl + jump, max_levels)
-    if remaining is not None:
-        levels.append((max_levels, remaining))
+    # ONE pass, not one groupBy+collect job per level: count level-0
+    # cells; if none exceed the threshold (the common case) every point
+    # is level 0 after a single metadata aggregate.  Otherwise points in
+    # hot level-0 cells get their finest-resolution cell counted once,
+    # each fine cell explodes its ancestor chain (metadata-scale: rows =
+    # #fine-cells x max_levels, never points), ancestor counts roll up
+    # in one shuffle, and each fine cell's assignment is the SHALLOWEST
+    # level whose ancestor cell is at or under the threshold.
+    from esda_spark.plans.cells import cell_xy, pack_cell
 
+    counts0 = (
+        base.withColumn("_c", cell_key(F.col("x"), F.col("y"), cell_size))
+        .groupBy("_c").count()
+    )
+    max0 = counts0.agg(F.max("count")).collect()[0][0] or 0
+    if int(max0) <= density_threshold:
+        levels: list[tuple[int, DataFrame]] = [(0, base)]
+        return _knn_rounds_multi(levels, base, k, cell_size, binary,
+                                 max_rounds)
+
+    hot0 = F.broadcast(
+        counts0.where(F.col("count") > density_threshold).select("_c")
+    )
+    keyed0 = base.withColumn(
+        "_c", cell_key(F.col("x"), F.col("y"), cell_size)
+    )
+    sparse0 = keyed0.join(hot0, "_c", "left_anti").select("id", "x", "y")
+    dense_pts = keyed0.join(hot0, "_c", "left_semi").select("id", "x", "y")
+
+    fine_size = cell_size / (2**max_levels)
+    fx, fy = cell_xy(F.col("x"), F.col("y"), fine_size)
+    fine = dense_pts.withColumn("_fx", fx).withColumn("_fy", fy)
+    fine_counts = fine.groupBy("_fx", "_fy").count()
+    # ancestor rollup: every fine cell contributes its count to each of
+    # its max_levels ancestors (shift by max_levels - l)
+    anc = fine_counts.select(
+        "_fx", "_fy", "count",
+        F.explode(F.sequence(F.lit(1), F.lit(max_levels))).alias("lvl"),
+    ).select(
+        "lvl",
+        # arithmetic shift right == floor-div by 2^d, exact dyadic
+        # quadtree ancestry even for negative grid coords
+        F.expr(f"shiftright(_fx, cast({max_levels} - lvl as int))")
+        .alias("_ax"),
+        F.expr(f"shiftright(_fy, cast({max_levels} - lvl as int))")
+        .alias("_ay"),
+        "_fx", "_fy", "count",
+    )
+    anc_counts = anc.groupBy("lvl", "_ax", "_ay").agg(
+        F.sum("count").alias("acount")
+    )
+    # shallowest sparse ancestor level per fine cell (level 0 is hot by
+    # construction here); cells dense at every level land at max_levels
+    assign = (
+        anc.select("lvl", "_ax", "_ay", "_fx", "_fy")
+        .join(anc_counts, ["lvl", "_ax", "_ay"])
+        .groupBy("_fx", "_fy")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("acount") <= density_threshold,
+                             F.col("lvl"))),
+                F.lit(max_levels),
+            ).alias("lvl")
+        )
+    )
+    labeled = (
+        fine.join(assign, ["_fx", "_fy"]).select("id", "x", "y", "lvl")
+        .localCheckpoint(eager=True)  # one materialization of the chain
+    )
+    lvl_values = sorted(
+        r["lvl"] for r in labeled.select("lvl").distinct().collect()
+    )
+    levels = [(0, sparse0)] + [
+        (lv, labeled.where(F.col("lvl") == lv).select("id", "x", "y"))
+        for lv in lvl_values
+    ]
     return _knn_rounds_multi(levels, base, k, cell_size, binary, max_rounds)
 
 
@@ -155,9 +196,15 @@ def _knn_rounds_multi(
     pts = None
     targets = None
     for lvl, focals in levels:
+        # initial per-row search radius: fine-level focals are
+        # guaranteed to settle within ~4 fine cells (their parent dense
+        # cell holds > threshold >= 4k points within 2*sqrt(2) cells);
+        # level-0 cells hold ~k points, so radius 2 (25 cells ~ 25k
+        # candidates) settles nearly all in ONE round — fewer sequential
+        # rounds is the dominant small-n cost
         f = with_cell(focals.select("id", "x", "y"), sizes[lvl]).withColumn(
             "lvl", F.lit(lvl)
-        )
+        ).withColumn("rad", F.lit(2 if lvl == 0 else 4))
         t = with_cell(all_points, sizes[lvl]).select(
             F.col("id").alias("neighbor"), F.col("x").alias("nx"),
             F.col("y").alias("ny"), F.col("cell"),
@@ -169,9 +216,9 @@ def _knn_rounds_multi(
     unsettled = pts
     results: list[DataFrame] = []
     intermediates: list[DataFrame] = []
-    radius = 1
+    min_rad = 2
     for _ in range(max_rounds):
-        world_covered = radius * min(sizes.values()) > 400.0
+        world_covered = min_rad * min(sizes.values()) > 400.0
         dx = F.col("x") - F.col("nx")
         dy = F.col("y") - F.col("ny")
         if world_covered:
@@ -185,14 +232,15 @@ def _knn_rounds_multi(
             ).where(F.col("id") != F.col("neighbor"))
         else:
             cand = (
-                expand_ring(unsettled.withColumnRenamed("cell", "cell0"), radius)
+                expand_ring_col(unsettled.withColumnRenamed("cell", "cell0"))
                 .join(targets, ["lvl", "cell"])
                 .where(F.col("id") != F.col("neighbor"))
             )
-        guard2 = (F.lit(float(radius)) * guard_size) ** 2
+        guard2 = (F.col("rad").cast("double") * guard_size) ** 2
         cand = cand.select(
             "id", "neighbor", (dx * dx + dy * dy).alias("d2"),
-            (F.lit(world_covered) | (F.lit(float(radius)) * guard_size > 400.0)
+            (F.lit(world_covered)
+             | (F.col("rad").cast("double") * guard_size > 400.0)
              ).alias("_world"),
             guard2.alias("_g2"),
         )
@@ -229,9 +277,9 @@ def _knn_rounds_multi(
             break
         unsettled = unsettled.join(
             remaining_ids.distinct(), "id", "left_semi"
-        ).localCheckpoint(eager=True)
+        ).withColumn("rad", F.col("rad") * 2).localCheckpoint(eager=True)
         intermediates.append(unsettled)
-        radius *= 2
+        min_rad *= 2
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)

@@ -91,3 +91,24 @@ def expand_ring(df: DataFrame, radius: int, out: str = "cell") -> DataFrame:
                                    F.col("cy") + F.col("off.dy")))
         .drop("off")
     )
+
+
+def expand_ring_col(df: DataFrame, rad_col: str = "rad",
+                    out: str = "cell") -> DataFrame:
+    """Per-row ring expansion: each row explodes into its own
+    (2*rad+1)^2 candidate cells, so rows at different search radii
+    (e.g. quadtree density levels) expand in ONE job instead of one
+    job per radius value.  Requires ``cx``/``cy`` and ``rad_col``."""
+    offs = F.explode(
+        F.expr(
+            f"flatten(transform(sequence(-{rad_col}, {rad_col}), dx -> "
+            f"transform(sequence(-{rad_col}, {rad_col}), dy -> "
+            "struct(dx, dy))))"
+        )
+    ).alias("off")
+    return (
+        df.select("*", offs)
+        .withColumn(out, pack_cell(F.col("cx") + F.col("off.dx"),
+                                   F.col("cy") + F.col("off.dy")))
+        .drop("off")
+    )
