@@ -567,6 +567,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return path_silhouette(pts, labels, _edges(spark, sf), ["x", "y"])
 
+    def choynowski_q(spark, sf):
+        from esda_spark.operators.rates import choynowski
+
+        return _round(choynowski(_points(spark, sf), "e", "b"), ["p"], 9)
+
+    def age_std_ci_q(spark, sf):
+        from esda_spark.operators.rates import direct_age_standardization_ci
+
+        pts = _points(spark, sf)
+        long = pts.select(
+            (F.col("id") % 50).alias("unit"), "e", "b",
+            (F.col("b") + F.lit(50.0)).alias("s"),
+        )
+        return _round(
+            direct_age_standardization_ci(long, unit_col="unit"),
+            ["rate", "lower", "upper"], 9,
+        )
+
+    def age_adjusted_smoother_q(spark, sf):
+        from esda_spark.operators.rates import age_adjusted_smoother
+
+        pts = _points(spark, sf)
+        long = pts.select(
+            "id", (F.col("id") % 2).alias("age"), "e", "b",
+            (F.col("b") + F.lit(50.0)).alias("s"),
+        )
+        return _round(
+            age_adjusted_smoother(long, _edges(spark, sf)), ["rate"], 9
+        )
+
+    def weighted_median_rate_q(spark, sf):
+        from esda_spark.operators.rates import spatial_median_rate
+
+        return _round(
+            spatial_median_rate(
+                _points(spark, sf), _edges(spark, sf), out_col="wmr",
+                aw_col="b",
+            ).select("id", "wmr"),
+            ["wmr"], 9,
+        )
+
     # ---- non-SQL-expressible (conditional permutation / ANN) ----
 
     def dbscan_q(spark, sf):
@@ -715,6 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-oracle (seeded permutation / ANN / iterative) — rows-only
         "lisa_full": lisa_full,
         "path_silhouette": path_silhouette_q,
+        "choynowski": choynowski_q,
+        "age_standardization_ci": age_std_ci_q,
+        "age_adjusted_smoother": age_adjusted_smoother_q,
+        "weighted_median_rate": weighted_median_rate_q,
         "dbscan": dbscan_q,
         "adbscan": adbscan_q,
         "local_crossplot": local_crossplot_q,

@@ -87,3 +87,78 @@ def chi2_sf(x, dof):
     x = np.asarray(x, dtype=np.float64)
     dof = np.asarray(dof, dtype=np.float64)
     return _gammainc_q(dof / 2.0, x / 2.0)
+
+
+def gammainc_p(a, x):
+    """Regularized lower incomplete gamma P(a, x)."""
+    return 1.0 - _gammainc_q(np.asarray(a, np.float64),
+                             np.asarray(x, np.float64))
+
+
+def _gamma_ppf_scalar(q: float, a: float, scale: float = 1.0) -> float:
+    """Inverse of P(a, x/scale) = q by bracketed bisection (~1e-14)."""
+    if not (0.0 <= q <= 1.0) or a <= 0 or math.isnan(q) or math.isnan(a):
+        return float("nan")
+    if q == 0.0:
+        return 0.0
+    if q == 1.0:
+        return float("inf")
+    hi = max(a, 1.0)
+    while (1.0 - _gammainc_q_scalar(a, hi)) < q:
+        hi *= 2.0
+        if hi > 1e12:
+            break
+    lo = 0.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if (1.0 - _gammainc_q_scalar(a, mid)) < q:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo <= 1e-15 * max(hi, 1.0):
+            break
+    return 0.5 * (lo + hi) * scale
+
+
+gamma_ppf = np.vectorize(_gamma_ppf_scalar, otypes=[np.float64])
+
+
+def chi2_ppf(q, dof):
+    """Inverse chi-square CDF: chi2.ppf(q, dof) = gamma_ppf(q, dof/2)*2."""
+    return gamma_ppf(q, np.asarray(dof, np.float64) / 2.0, 2.0)
+
+
+def _poisson_cdf_scalar(k: float, mu: float) -> float:
+    """P(X <= k) for Poisson(mu): Q(floor(k)+1, mu) (regularized upper
+    incomplete gamma identity)."""
+    if math.isnan(k) or math.isnan(mu):
+        return float("nan")
+    if k < 0:
+        return 0.0
+    if mu == 0:
+        return 1.0
+    return _gammainc_q_scalar(math.floor(k) + 1.0, mu)
+
+
+poisson_cdf = np.vectorize(_poisson_cdf_scalar, otypes=[np.float64])
+
+
+def _norm_ppf_scalar(q: float) -> float:
+    """Inverse standard-normal CDF by bisection on erfc (~1e-13)."""
+    if not (0.0 <= q <= 1.0) or math.isnan(q):
+        return float("nan")
+    if q == 0.0:
+        return float("-inf")
+    if q == 1.0:
+        return float("inf")
+    lo, hi = -40.0, 40.0
+    for _ in range(120):
+        mid = 0.5 * (lo + hi)
+        if 0.5 * math.erfc(-mid / _SQRT2) < q:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+norm_ppf = np.vectorize(_norm_ppf_scalar, otypes=[np.float64])

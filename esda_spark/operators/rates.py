@@ -7,8 +7,11 @@ reference's (e, b) convention.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from esda_spark.operators.lag import spatial_lag
 from esda_spark.operators.weights import cardinalities, transform_weights
@@ -184,43 +187,75 @@ def disk_smoother(
 def spatial_median_rate(
     points: DataFrame, edges: DataFrame,
     e_col: str = "e", b_col: str = "b", out_col: str = "r",
-    iterations: int = 1,
+    iterations: int = 1, aw_col: str | None = None,
 ) -> DataFrame:
-    """Iterated median of the rate over the closed neighborhood
-    (``smoothing.py:1086-1211``, unweighted variant).
+    """Iterated (weighted) median of the rate over the closed
+    neighborhood (``smoothing.py:1086-1211``).
 
-    Each iteration: union self-edges, gather neighborhood rates, take
-    the exact median per focal (numpy-convention: mean of the two
-    middle order statistics for even counts).
+    Unweighted: exact median per focal (numpy-convention: mean of the
+    two middle order statistics for even counts).  With ``aw_col``
+    (auxiliary weights, e.g. the population base): the reference's
+    ``weighted_median`` (``smoothing.py:83-130``) — sort neighborhood
+    rates, first value whose cumulative weight reaches half the total;
+    exact-half boundary averages with the next order statistic.  One
+    window over (focal) per iteration either way.
     """
     rates = points.select("id", (F.col(e_col) / F.col(b_col)).alias("r"))
+    if aw_col is not None:
+        aws = points.select(F.col("id").alias("neighbor"),
+                            F.col(aw_col).alias("awn"))
     closed = edges.select("focal", "neighbor").unionByName(
         points.select(F.col("id").alias("focal"), F.col("id").alias("neighbor"))
     )
     for _ in range(iterations):
         nb = rates.select(F.col("id").alias("neighbor"), F.col("r").alias("rn"))
-        win = Window.partitionBy("focal").orderBy("rn")
-        ranked = (
-            closed.join(nb, "neighbor")
-            .withColumn("rk", F.row_number().over(win))
-            .withColumn("cnt", F.count("*").over(Window.partitionBy("focal")))
-        )
-        med = (
-            ranked.where(
-                (F.col("rk") == (F.col("cnt") + 1) / 2)
-                | (F.col("rk") == F.col("cnt") / 2 + 1)
-                | (F.col("rk") == F.col("cnt") / 2)
+        win = Window.partitionBy("focal").orderBy("rn", "neighbor")
+        if aw_col is None:
+            ranked = (
+                closed.join(nb, "neighbor")
+                .withColumn("rk", F.row_number().over(win))
+                .withColumn("cnt",
+                            F.count("*").over(Window.partitionBy("focal")))
             )
-            .where(
-                ((F.col("cnt") % 2 == 1) & (F.col("rk") == (F.col("cnt") + 1) / 2))
-                | ((F.col("cnt") % 2 == 0)
-                   & ((F.col("rk") == F.col("cnt") / 2)
-                      | (F.col("rk") == F.col("cnt") / 2 + 1)))
+            med = (
+                ranked.where(
+                    ((F.col("cnt") % 2 == 1)
+                     & (F.col("rk") == (F.col("cnt") + 1) / 2))
+                    | ((F.col("cnt") % 2 == 0)
+                       & ((F.col("rk") == F.col("cnt") / 2)
+                          | (F.col("rk") == F.col("cnt") / 2 + 1)))
+                )
+                .groupBy("focal")
+                .agg(F.avg("rn").alias("r"))
+                .withColumnRenamed("focal", "id")
             )
-            .groupBy("focal")
-            .agg(F.avg("rn").alias("r"))
-            .withColumnRenamed("focal", "id")
-        )
+        else:
+            cum = F.sum("awn").over(
+                win.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            tot = F.sum("awn").over(Window.partitionBy("focal"))
+            ranked = (
+                closed.join(nb, "neighbor").join(aws, "neighbor")
+                .withColumn("cum", cum)
+                .withColumn("tot", tot)
+                .withColumn("nxt", F.lead("rn").over(win))
+                .withColumn("prevcum", F.lag("cum").over(win))
+            )
+            med = (
+                ranked.where(
+                    (F.col("cum") >= F.col("tot") / 2)
+                    & (F.col("prevcum").isNull()
+                       | (F.col("prevcum") < F.col("tot") / 2))
+                )
+                .select(
+                    F.col("focal").alias("id"),
+                    F.when(
+                        (F.col("cum") == F.col("tot") / 2)
+                        & F.col("nxt").isNotNull(),
+                        (F.col("rn") + F.col("nxt")) / 2.0,
+                    ).otherwise(F.col("rn")).alias("r"),
+                )
+            )
         rates = points.select("id").join(med, "id", "left").select(
             "id", F.col("r")
         )
@@ -388,3 +423,158 @@ def spatial_filtering(
         .select("gid", (F.col("ce") / F.col("cb")).alias("r"))
     )
     return grid.join(last, "gid", "left").select("gid", "x", "y", "r")
+
+
+def choynowski(
+    df: DataFrame, e_col: str = "e", b_col: str = "b",
+    unit_col: str = "id", threshold: float | None = None,
+) -> DataFrame:
+    """(id, p): Choynowski (1959) map probabilities
+    (``smoothing.py:470-527``).
+
+    expected_i = (sum E / sum B) * b_i; p_i = Pois.cdf(e_i, expected_i)
+    when e_i <= expected_i else 1 - Pois.cdf(e_i - 1, expected_i);
+    values >= ``threshold`` zeroed if given.  The Poisson CDF is the
+    regularized upper incomplete gamma (mathx) inside an Arrow batch.
+    """
+    per = df.groupBy(unit_col).agg(
+        F.sum(e_col).alias("_e"), F.sum(b_col).alias("_b")
+    )
+    tot = per.agg(F.sum("_e").alias("te"), F.sum("_b").alias("tb")).collect()[0]
+    r_all = float(tot.te) / float(tot.tb)
+
+    from esda_spark.functions.mathx import poisson_cdf
+
+    @F.pandas_udf(T.DoubleType())
+    def _choy(e: pd.Series, exp: pd.Series) -> pd.Series:
+        ev = e.to_numpy(np.float64)
+        xv = exp.to_numpy(np.float64)
+        low = poisson_cdf(ev, xv)
+        high = 1.0 - poisson_cdf(ev - 1.0, xv)
+        return pd.Series(np.where(ev <= xv, low, high))
+
+    out = per.select(
+        unit_col,
+        _choy(F.col("_e"), F.lit(r_all) * F.col("_b")).alias("p"),
+    )
+    if threshold:
+        out = out.withColumn(
+            "p", F.when(F.col("p") < threshold, F.col("p")).otherwise(0.0)
+        )
+    return out
+
+
+def direct_age_standardization_ci(
+    df: DataFrame, e_col: str = "e", b_col: str = "b", s_col: str = "s",
+    unit_col: str = "id", alpha: float = 0.05,
+) -> DataFrame:
+    """(id, rate, lower, upper): direct standardization with the
+    reference's gamma interval estimates (``smoothing.py:292-311``).
+
+    Per unit: aw = (1/b)(s/S); rate = sum e*aw; var = sum e*aw^2;
+    lower ~ Gamma(rate^2/var, var/rate); upper shifts both by
+    k = max(aw) (Fay-Feuer).  rate = 0 -> (0, chi2.ppf(1-a/2, 2)/2)
+    (the reference calls ``chi2.ppf`` without a df - a latent bug on
+    this branch; df=2 is the standard exact-Poisson zero-count limit).
+    """
+    stot = df.groupBy(unit_col).agg(F.sum(s_col).alias("_stot"))
+    aw = (F.lit(1.0) / F.col(b_col)) * (F.col(s_col) / F.col("_stot"))
+    agg = (
+        df.join(stot, unit_col)
+        .groupBy(unit_col)
+        .agg(
+            F.sum(F.col(e_col) * aw).alias("rate"),
+            F.sum(F.col(e_col) * aw * aw).alias("var"),
+            F.max(aw).alias("k"),
+        )
+    )
+
+    from esda_spark.functions.mathx import chi2_ppf, gamma_ppf
+
+    @F.pandas_udf(T.DoubleType())
+    def _lower(r: pd.Series, v: pd.Series) -> pd.Series:
+        rv, vv = r.to_numpy(np.float64), v.to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = gamma_ppf(alpha / 2.0, rv * rv / vv, vv / rv)
+        return pd.Series(np.where(rv == 0, 0.0, out))
+
+    @F.pandas_udf(T.DoubleType())
+    def _upper(r: pd.Series, v: pd.Series, kk: pd.Series) -> pd.Series:
+        rv = r.to_numpy(np.float64)
+        vv = v.to_numpy(np.float64)
+        kv = kk.to_numpy(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = gamma_ppf(
+                1.0 - alpha / 2.0,
+                (rv + kv) ** 2 / (vv + kv * kv),
+                (vv + kv * kv) / (rv + kv),
+            )
+        zero_up = 0.5 * float(chi2_ppf(1.0 - 0.5 * alpha, 2.0))
+        return pd.Series(np.where(rv == 0, zero_up, out))
+
+    return agg.select(
+        unit_col, "rate",
+        _lower(F.col("rate"), F.col("var")).alias("lower"),
+        _upper(F.col("rate"), F.col("var"), F.col("k")).alias("upper"),
+    )
+
+
+def indirect_age_standardization_ci(
+    df: DataFrame, e_col: str = "e", b_col: str = "b",
+    se_col: str = "s_e", sb_col: str = "s_b", unit_col: str = "id",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """(id, rate, lower, upper): indirect standardization with the
+    reference's log-normal SMR interval (``smoothing.py:381-394``):
+    sd(log SMR) = 1/sqrt(E_i); bounds = exp(log SMR -+ z*sd) * R."""
+    from esda_spark.functions.mathx import norm_ppf
+
+    tot = df.agg((F.sum(se_col) / F.sum(sb_col)).alias("sr")).collect()[0]
+    s_r_all = float(tot.sr)
+    z = float(norm_ppf(1.0 - 0.5 * alpha))
+    agg = df.groupBy(unit_col).agg(
+        F.sum(e_col).alias("_e"),
+        F.sum(F.col(b_col) * (F.col(se_col) / F.col(sb_col))).alias("_exp"),
+    )
+    smr = F.col("_e") / F.col("_exp")
+    sd = F.lit(1.0) / F.sqrt(F.col("_e"))
+    return agg.select(
+        unit_col,
+        (smr * F.lit(s_r_all)).alias("rate"),
+        (F.exp(F.log(smr) - F.lit(z) * sd) * F.lit(s_r_all)).alias("lower"),
+        (F.exp(F.log(smr) + F.lit(z) * sd) * F.lit(s_r_all)).alias("upper"),
+    )
+
+
+def age_adjusted_smoother(
+    df: DataFrame, edges: DataFrame,
+    e_col: str = "e", b_col: str = "b", s_col: str = "s",
+    unit_col: str = "id", age_col: str = "age",
+) -> DataFrame:
+    """(id, rate): Age_Adjusted_Smoother (``smoothing.py:928-1008``).
+
+    Per age group, events and populations are binary-lagged over the
+    weights (one edge join + grouped sum keyed on (focal, age)), then
+    direct age standardization runs on the smoothed values with the
+    unit's own standard population.  If the weights carry no self
+    edges, add them first to mirror kernel weights' diagonal.
+    """
+    long = df.select(
+        F.col(unit_col).alias("id"), F.col(age_col).alias("age"),
+        F.col(e_col).alias("_e"), F.col(b_col).alias("_b"),
+        F.col(s_col).alias("_s"),
+    )
+    nb = long.select(
+        F.col("id").alias("neighbor"), F.col("age").alias("age"),
+        F.col("_e").alias("_en"), F.col("_b").alias("_bn"),
+    )
+    lagged = (
+        edges.select("focal", "neighbor").join(nb, "neighbor")
+        .groupBy("focal", "age")
+        .agg(F.sum("_en").alias("_el"), F.sum("_bn").alias("_bl"))
+        .withColumnRenamed("focal", "id")
+    )
+    smoothed = long.select("id", "age", "_s").join(lagged, ["id", "age"])
+    return direct_age_standardization(
+        smoothed, e_col="_el", b_col="_bl", s_col="_s", unit_col="id"
+    )

@@ -177,3 +177,128 @@ def test_np_mixture_smoother(spark):
     lo = r[theta == 0.02].mean()
     hi = r[theta == 0.10].mean()
     assert 0.01 < lo < 0.05 < hi < 0.15
+
+
+def test_choynowski_reference_golden(spark):
+    # reference doctest (smoothing.py:470-527): 2 regions x 4 age groups
+    from esda_spark.operators.rates import choynowski
+
+    e = [30, 25, 25, 15, 33, 21, 30, 20]
+    b = [100, 100, 110, 90, 100, 90, 110, 90]
+    rows = [(i // 4, float(e[i]), float(b[i])) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, e double, b double")
+    res = {r.id: r.p for r in choynowski(df).collect()}
+    assert round(res[0], 3) == 0.304
+    assert round(res[1], 3) == 0.294
+
+
+def test_direct_age_standardization_ci(spark):
+    # reference doctest rates (smoothing.py:228-300): 0.0237 / 0.0267;
+    # gamma CI formulas re-derived in numpy on the same mathx quantiles
+    from esda_spark.functions.mathx import gamma_ppf
+    from esda_spark.operators.rates import direct_age_standardization_ci
+
+    e = np.array([30, 25, 25, 15, 33, 21, 30, 20], float)
+    b = np.array([1000, 1000, 1100, 900, 1000, 900, 1100, 900], float)
+    s = np.array([1000, 900, 1000, 900, 1000, 900, 1000, 900], float)
+    rows = [(i // 4, float(e[i]), float(b[i]), float(s[i])) for i in range(8)]
+    df = spark.createDataFrame(rows, "id long, e double, b double, s double")
+    res = {r.id: (r.rate, r.lower, r.upper)
+           for r in direct_age_standardization_ci(df).collect()}
+    assert round(res[0][0], 4) == 0.0237
+    assert round(res[1][0], 4) == 0.0267
+    for u in (0, 1):
+        sl = slice(u * 4, u * 4 + 4)
+        S = s[sl].sum()
+        aw = (1.0 / b[sl]) * (s[sl] / S)
+        rate = (e[sl] * aw).sum()
+        var = (e[sl] * aw * aw).sum()
+        k = aw.max()
+        lo = float(gamma_ppf(0.025, rate * rate / var, var / rate))
+        hi = float(gamma_ppf(0.975, (rate + k) ** 2 / (var + k * k),
+                             (var + k * k) / (rate + k)))
+        assert res[u][1] == pytest.approx(lo, rel=1e-9)
+        assert res[u][2] == pytest.approx(hi, rel=1e-9)
+        assert lo < res[u][0] < hi
+
+
+def test_indirect_age_standardization_ci(spark):
+    from esda_spark.operators.rates import indirect_age_standardization_ci
+
+    e = [30, 25, 25, 15, 33, 21, 30, 20]
+    b = [100, 100, 110, 90, 100, 90, 110, 90]
+    s_e = [100, 45, 120, 100, 50, 30, 200, 80]
+    s_b = [1000, 900, 1000, 900, 1000, 900, 1000, 900]
+    rows = [(i // 4, float(e[i]), float(b[i]), float(s_e[i]), float(s_b[i]))
+            for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "id long, e double, b double, s_e double, s_b double")
+    res = {r.id: (r.rate, r.lower, r.upper)
+           for r in indirect_age_standardization_ci(df).collect()}
+    # reference doctest rates (smoothing.py:313-396)
+    assert res[0][0] == pytest.approx(0.23723821989528798)
+    assert res[1][0] == pytest.approx(0.2610803324099723)
+    for u in (0, 1):
+        assert res[u][1] < res[u][0] < res[u][2]
+    # log-normal interval re-derivation
+    smr0 = sum(e[:4]) / sum(bb * se / sb for bb, se, sb
+                            in zip(b[:4], s_e[:4], s_b[:4]))
+    s_r_all = sum(s_e) / sum(s_b)
+    z = 1.959963984540054
+    sd = 1.0 / np.sqrt(sum(e[:4]))
+    assert res[0][1] == pytest.approx(
+        np.exp(np.log(smr0) - z * sd) * s_r_all, rel=1e-9)
+
+
+def test_age_adjusted_smoother_vs_numpy(spark):
+    from esda_spark.operators.rates import age_adjusted_smoother
+
+    rng = np.random.default_rng(5)
+    n, h = 6, 2
+    e = rng.integers(1, 30, n * h).astype(float)
+    b = rng.integers(50, 200, n * h).astype(float)
+    s = rng.integers(50, 200, n * h).astype(float)
+    # small ring graph + self edges (mirrors kernel diagonal)
+    edges_l = [(i, (i + 1) % n) for i in range(n)]
+    edges_l += [(j, i) for i, j in edges_l]
+    edges_l += [(i, i) for i in range(n)]
+    rows = [(i, a, float(e[i * h + a]), float(b[i * h + a]),
+             float(s[i * h + a])) for i in range(n) for a in range(h)]
+    df = spark.createDataFrame(rows, "id long, age int, e double, b double, s double")
+    edges = spark.createDataFrame(edges_l, "focal long, neighbor long")
+    res = {r.id: r.rate for r in age_adjusted_smoother(df, edges).collect()}
+    # numpy oracle: binary slag per age group then direct standardization
+    adj = {i: [i, (i + 1) % n, (i - 1) % n] for i in range(n)}
+    for i in range(n):
+        el = np.array([sum(e[j * h + a] for j in adj[i]) for a in range(h)])
+        bl = np.array([sum(b[j * h + a] for j in adj[i]) for a in range(h)])
+        si = s[i * h:(i + 1) * h]
+        want = float(((el / bl) * (si / si.sum())).sum())
+        assert res[i] == pytest.approx(want, rel=1e-9), i
+
+
+def test_weighted_spatial_median_rate(spark):
+    from esda_spark.operators.rates import spatial_median_rate
+
+    # reference weighted_median doctest: d=[5,4,3,1,2], w=[10,22,9,2,5] -> 4
+    d = [5.0, 4.0, 3.0, 1.0, 2.0]
+    w = [10.0, 22.0, 9.0, 2.0, 5.0]
+    pts = spark.createDataFrame(
+        [(i, d[i], 1.0, w[i]) for i in range(5)],
+        "id long, e double, b double, aw double",
+    )
+    # star graph: focal 0 neighbors everyone (closed adds self)
+    edges = spark.createDataFrame(
+        [(0, j) for j in range(1, 5)], "focal long, neighbor long")
+    res = {r.id: r.smr for r in spatial_median_rate(
+        pts, edges, out_col="smr", aw_col="aw").collect()}
+    assert res[0] == pytest.approx(4.0)
+    # exact-half boundary: two values, equal weights -> mean of both
+    pts2 = spark.createDataFrame(
+        [(0, 1.0, 1.0, 1.0), (1, 3.0, 1.0, 1.0)],
+        "id long, e double, b double, aw double")
+    edges2 = spark.createDataFrame([(0, 1), (1, 0)], "focal long, neighbor long")
+    res2 = {r.id: r.smr for r in spatial_median_rate(
+        pts2, edges2, out_col="smr", aw_col="aw").collect()}
+    assert res2[0] == pytest.approx(2.0)
+    assert res2[1] == pytest.approx(2.0)
