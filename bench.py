@@ -107,7 +107,20 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     q = emb.where(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    timed("ann_cosine_topk", lambda: cosine_topk(emb, q, k=10).count())
+    exact = cosine_topk(emb, q, k=10).cache()
+    timed("ann_cosine_topk", lambda: exact.count())
+
+    from esda_spark.operators.similarity import lsh_topk, recall_at_k
+
+    dim = len(emb.select("embedding").first()[0])
+    # random-gaussian embeddings are LSH's worst case (no cluster
+    # structure); 6 planes x 8 tables scores ~n/8 candidates per query
+    approx = lsh_topk(emb, q, dim=dim, k=10, num_planes=6,
+                      num_tables=8).cache()
+    timed("ann_lsh_topk", lambda: approx.count())
+    times["_ann_lsh_recall_at_10"] = round(recall_at_k(approx, exact, 10), 4)
+    exact.unpersist()
+    approx.unpersist()
 
     times["_n_points"] = n_pts
     times["_n_orders"] = n_big
@@ -279,6 +292,7 @@ def main() -> None:
     times.pop("_n_orders")
     times.pop("_n_docs")
     times.pop("_pip_rows")
+    lsh_recall = times.pop("_ann_lsh_recall_at_10")
     print(json.dumps({
         "metric": "esda_spark headline suite (LISA+global stats, spatial "
                   "joins, dedup, ANN)",
@@ -287,6 +301,7 @@ def main() -> None:
         "queries": times,
         "sf": _sf_label(SF_DIR),
         "lisa_docs_per_sec": round(n_pts / times["lisa_crand"], 1),
+        "ann_lsh_recall_at_10": lsh_recall,
         "permutations": PERMS,
     }))
     spark.stop()

@@ -136,27 +136,43 @@ def hyperplane_signatures(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_tables: int = 1,
 ) -> DataFrame:
-    """(vec_id, bucket): sign-pattern bucket id from seeded random
-    hyperplanes (broadcast (num_planes, dim) matrix, Arrow-batched)."""
-    planes = np.random.default_rng(seed).normal(size=(num_planes, dim))
+    """(vec_id, table, bucket): sign-pattern bucket ids from seeded
+    random hyperplanes (broadcast (tables*planes, dim) matrix, one
+    Arrow pass).  ``num_tables > 1`` is OR-amplification: each table is
+    an independent plane set; candidates union across tables, which
+    trades candidate volume for recall without lengthening any single
+    signature."""
+    planes = np.random.default_rng(seed).normal(
+        size=(num_tables, num_planes, dim)
+    )
     spark = embeddings.sparkSession
     bc = spark.sparkContext.broadcast(planes)
 
     def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         H = bc.value
-        pows = (1 << np.arange(H.shape[0])).astype(np.int64)
+        t_n, p_n, _ = H.shape
+        pows = (1 << np.arange(p_n)).astype(np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            bits = (M @ H.T) > 0
-            yield pd.DataFrame(
-                {"vec_id": pdf[id_col].to_numpy(), "bucket": bits @ pows}
-            )
+            ids = pdf[id_col].to_numpy()
+            out_ids, out_tab, out_bkt = [], [], []
+            for t in range(t_n):
+                bits = (M @ H[t].T) > 0
+                out_ids.append(ids)
+                out_tab.append(np.full(len(ids), t, dtype=np.int64))
+                out_bkt.append(bits @ pows)
+            yield pd.DataFrame({
+                "vec_id": np.concatenate(out_ids),
+                "table": np.concatenate(out_tab),
+                "bucket": np.concatenate(out_bkt),
+            })
 
     return embeddings.select(id_col, vec_col).mapInPandas(
-        sig, schema="vec_id long, bucket long"
+        sig, schema="vec_id long, table long, bucket long"
     )
 
 
@@ -170,15 +186,18 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    num_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates."""
+    """Approximate top-k: score only candidates sharing a (table,
+    bucket) with the query in at least one of ``num_tables``
+    independent hash tables (OR-amplified hyperplane LSH)."""
     corpus_sig = hyperplane_signatures(
-        embeddings, dim, num_planes, seed, id_col, vec_col
+        embeddings, dim, num_planes, seed, id_col, vec_col, num_tables
     )
     query_sig = hyperplane_signatures(
         queries.select(F.col(query_id_col).alias("vec_id"),
                        F.col(vec_col)),
-        dim, num_planes, seed, "vec_id", vec_col,
+        dim, num_planes, seed, "vec_id", vec_col, num_tables,
     ).withColumnRenamed("vec_id", "query_id")
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -187,8 +206,10 @@ def lsh_topk(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     ).join(corpus_sig, "vec_id")
     scored = (
-        F.broadcast(q).join(c, "bucket")
+        F.broadcast(q).join(c, ["table", "bucket"])
         .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", "qv", "cv")
+        .dropDuplicates(["query_id", "vec_id"])  # union across tables
         .select(
             "query_id", "vec_id",
             (_dot(F.col("qv"), F.col("cv"))
@@ -201,3 +222,30 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "sim")
     )
+
+
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, k: int,
+    query_id_col: str = "query_id", id_col: str = "vec_id",
+) -> float:
+    """Mean recall@k of an approximate top-k result against the exact
+    one: |approx_topk(q) ∩ exact_topk(q)| / k averaged over queries.
+
+    Both inputs are (query_id, vec_id, rank, ...) as produced by
+    :func:`cosine_topk` / :func:`lsh_topk`.  One inner join + two tiny
+    aggregates — usable as a validation job next to any ANN index
+    build (the LSH path's bucket count trades recall for candidate
+    volume; this measures that trade).
+    """
+    a = approx.where(F.col("rank") <= k).select(
+        F.col(query_id_col).alias("_q"), F.col(id_col).alias("_v")
+    )
+    e = exact.where(F.col("rank") <= k).select(
+        F.col(query_id_col).alias("_q"), F.col(id_col).alias("_v")
+    )
+    hits = a.join(e, ["_q", "_v"], "left_semi").groupBy("_q").count()
+    per_q = e.select("_q").distinct().join(hits, "_q", "left").select(
+        F.coalesce(F.col("count"), F.lit(0)).alias("h")
+    )
+    row = per_q.agg(F.avg(F.col("h") / F.lit(float(k)))).collect()[0]
+    return float(row[0]) if row[0] is not None else 0.0

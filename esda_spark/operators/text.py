@@ -173,30 +173,34 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash over token h60 hashes.
 
-    Explode tokens x bits and aggregate the +/-1 votes per bit — pure
-    JVM expressions (portable to the SQL oracle); production variant at
-    extreme scale would fold the 60 bits inside one pandas UDF, but the
-    exploded form still distributes (it is a single groupBy).
+    One aggregate with ``bits`` sum expressions — vote for bit b is
+    ((th >> b) & 1) * 2 - 1, summed per doc with map-side partial
+    aggregation, then the sign vector folds back into one BIGINT with
+    pure column math.  Shuffle input is #docs rows of 60 longs; the
+    previous form exploded tokens x bits (a 60x row inflation before
+    the aggregate) and is retained only as the SQL oracle rendering.
+    Values are bit-identical to the exploded form (th is a nonnegative
+    60-bit hash, so div/mod by 2^b equals shift/mask).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     ).withColumn("th", h60(F.col("tok")))
-    votes = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        F.col("th"),
-    ).withColumn(
-        "vote",
-        (F.expr("th div CAST(power(2, b) AS BIGINT)") % 2) * 2 - 1,
-    )
-    bit_sums = votes.groupBy("doc_id", "b").agg(F.sum("vote").alias("s"))
-    return bit_sums.groupBy("doc_id").agg(
+    aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(power(2, b) AS BIGINT)"))
-            .otherwise(F.lit(0))
-        ).alias("simhash")
-    )
+            F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_s{b}")
+        for b in range(bits)
+    ]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        t = (
+            F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        sim = t if sim is None else sim + t
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 # language stopword markers (tiny built-in lists; heuristic language ID)

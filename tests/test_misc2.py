@@ -302,3 +302,27 @@ def test_weighted_spatial_median_rate(spark):
         pts2, edges2, out_col="smr", aw_col="aw").collect()}
     assert res2[0] == pytest.approx(2.0)
     assert res2[1] == pytest.approx(2.0)
+
+
+def test_ann_recall_at_k(spark):
+    from esda_spark.operators.similarity import (
+        cosine_topk, lsh_topk, recall_at_k,
+    )
+
+    rng = np.random.default_rng(17)
+    n, dim = 400, 16
+    vecs = rng.normal(size=(n, dim))
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, q, k=5)
+    # self-recall is exactly 1
+    assert recall_at_k(exact, exact, 5) == pytest.approx(1.0)
+    approx = lsh_topk(emb, q, dim=dim, k=5, num_planes=4)
+    r = recall_at_k(approx, exact, 5)
+    assert 0.0 <= r <= 1.0
+    # 4 planes -> 16 buckets over 400 vecs: recall should be well above 0
+    assert r > 0.2, r
