@@ -567,6 +567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return path_silhouette(pts, labels, _edges(spark, sf), ["x", "y"])
 
+    def prominence_q(spark, sf):
+        from esda_spark.operators.topo import prominence
+
+        return prominence(_points(spark, sf), _edges(spark, sf), "y_cont")
+
     def choynowski_q(spark, sf):
         from esda_spark.operators.rates import choynowski
 
@@ -757,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lisa_full": lisa_full,
         "path_silhouette": path_silhouette_q,
         "choynowski": choynowski_q,
+        "prominence": prominence_q,
         "age_standardization_ci": age_std_ci_q,
         "age_adjusted_smoother": age_adjusted_smoother_q,
         "weighted_median_rate": weighted_median_rate_q,

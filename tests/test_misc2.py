@@ -326,3 +326,45 @@ def test_ann_recall_at_k(spark):
     assert 0.0 <= r <= 1.0
     # 4 planes -> 16 buckets over 400 vecs: recall should be well above 0
     assert r > 0.2, r
+
+
+def test_prominence_chain_fixture(spark):
+    # 1-D terrain 3-1-5-2-4 on a path graph, hand-traced through the
+    # reference sweep (topo.py:170-377), plus a disconnected island
+    from esda_spark.operators.topo import prominence, to_elevation
+
+    vals = [3.0, 1.0, 5.0, 2.0, 4.0, 10.0]
+    pts = spark.createDataFrame(
+        [(i, vals[i]) for i in range(6)], "id long, y_cont double")
+    chain = [(i, i + 1) for i in range(4)]
+    edges = spark.createDataFrame(chain, "focal long, neighbor long")
+    res = {r.id: r for r in prominence(pts, edges).collect()}
+    assert res[2].classification == "peak"
+    assert res[2].prominence == pytest.approx(3.0)   # 4 - keycol 1
+    assert res[4].classification == "peak"
+    assert res[4].prominence == pytest.approx(2.0)   # 3 - keycol 1
+    assert res[0].classification == "peak"
+    assert res[0].prominence == pytest.approx(2.0)   # 2 - keycol 0
+    assert res[3].classification == "keycol"
+    assert res[3].prominence == 0.0
+    assert res[1].classification == "keycol"
+    assert res[1].prominence == 0.0
+    assert res[3].keycol == -1 and res[2].keycol == 3 and res[4].keycol == 3
+    assert res[0].keycol == 1
+    # island: own component, full elevation as prominence
+    assert res[5].classification == "peak"
+    assert res[5].prominence == pytest.approx(9.0)
+
+    # to_elevation: 1-D shifts to zero-min; 2-D = distance from mean
+    e1 = {r.id: r.elev for r in to_elevation(pts, ["y_cont"]).collect()}
+    assert e1[1] == 0.0 and e1[5] == 9.0
+    pts2 = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 2.0, 0.0), (2, 1.0, 1.0)],
+        "id long, a double, b double")
+    e2 = {r.id: r.elev for r in to_elevation(pts2, ["a", "b"]).collect()}
+    center = np.array([1.0, 1.0 / 3])
+    d = [np.linalg.norm(np.array(p) - center)
+         for p in [(0, 0), (2, 0), (1, 1)]]
+    want = np.array(d) - min(d)
+    for i in range(3):
+        assert e2[i] == pytest.approx(want[i], rel=1e-12)
