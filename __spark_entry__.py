@@ -567,6 +567,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return path_silhouette(pts, labels, _edges(spark, sf), ["x", "y"])
 
+    def cluster_boundaries_q(spark, sf):
+        from esda_spark.operators.adbscan import cluster_boundaries, dbscan
+
+        pts = _points(spark, sf)
+        labels = dbscan(pts, eps=2.0, min_samples=4, cell_size=2.0)
+        return cluster_boundaries(pts, labels)
+
     def prominence_q(spark, sf):
         from esda_spark.operators.topo import prominence
 
@@ -763,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_silhouette": path_silhouette_q,
         "choynowski": choynowski_q,
         "prominence": prominence_q,
+        "cluster_boundaries": cluster_boundaries_q,
         "age_standardization_ci": age_std_ci_q,
         "age_adjusted_smoother": age_adjusted_smoother_q,
         "weighted_median_rate": weighted_median_rate_q,

@@ -20,6 +20,8 @@ Here every step is a distributed dataflow:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -195,4 +197,186 @@ def adbscan(
     return winner.withColumn(
         "lbls",
         F.when(F.col("pct") < pct_thr, F.lit(NOISE)).otherwise(F.col("lbls")),
+    )
+
+
+# --- cluster boundaries: auto alpha shapes (reference adbscan.py:461-543) ---
+
+def _in_circumcircle(a, b, c, p) -> bool:
+    """p strictly inside the circumcircle of CCW triangle (a, b, c)."""
+    ax, ay = a[0] - p[0], a[1] - p[1]
+    bx, by = b[0] - p[0], b[1] - p[1]
+    cx, cy = c[0] - p[0], c[1] - p[1]
+    det = (
+        (ax * ax + ay * ay) * (bx * cy - cx * by)
+        - (bx * bx + by * by) * (ax * cy - cx * ay)
+        + (cx * cx + cy * cy) * (ax * by - bx * ay)
+    )
+    return det > 0
+
+
+def _delaunay(pts: np.ndarray) -> list[tuple[int, int, int]]:
+    """Bowyer-Watson Delaunay triangulation (pure numpy/python;
+    O(n^2) — clusters are the unit of work, sized for one task)."""
+    n = len(pts)
+    m = pts.mean(axis=0)
+    span = float(np.ptp(pts, axis=0).max()) * 10.0 + 1.0
+    sup = np.array([
+        [m[0] - 20 * span, m[1] - span],
+        [m[0] + 20 * span, m[1] - span],
+        [m[0], m[1] + 20 * span],
+    ])
+    P = np.vstack([pts, sup])
+
+    def ccw(t):
+        a, b, c = P[t[0]], P[t[1]], P[t[2]]
+        if (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) < 0:
+            return (t[0], t[2], t[1])
+        return t
+
+    tris = [ccw((n, n + 1, n + 2))]
+    for i in range(n):
+        p = P[i]
+        bad = [t for t in tris
+               if _in_circumcircle(P[t[0]], P[t[1]], P[t[2]], p)]
+        edge_count: dict[tuple[int, int], int] = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                edge_count[k] = edge_count.get(k, 0) + 1
+        for t in bad:
+            tris.remove(t)
+        for (u, v), c in edge_count.items():
+            if c == 1:
+                tris.append(ccw((u, v, i)))
+    return [t for t in tris if max(t) < n]
+
+
+def _circumradius(a, b, c) -> float:
+    la = math.dist(b, c)
+    lb = math.dist(a, c)
+    lc = math.dist(a, b)
+    area2 = abs(
+        (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    )
+    if area2 == 0:
+        return float("inf")
+    return la * lb * lc / (2.0 * area2)
+
+
+def _alpha_shape_auto(pts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Ring (xs, ys) of the auto alpha shape: the tightest (largest
+    alpha = smallest circumradius threshold) triangle subset that
+    covers every point, is edge-connected, and whose boundary is one
+    simple cycle — the selection rule of
+    ``libpysal.cg.alpha_shapes.alpha_shape_auto`` re-derived from the
+    published algorithm (no libpysal/scipy in the runtime)."""
+    n = len(pts)
+    if n < 3:
+        return pts[:, 0].copy(), pts[:, 1].copy()
+    tris = _delaunay(pts)
+    if not tris:
+        return pts[:, 0].copy(), pts[:, 1].copy()
+    radii = np.array([
+        _circumradius(pts[a], pts[b], pts[c]) for a, b, c in tris
+    ])
+    order = np.argsort(radii)
+    for thr_i in range(n and len(order)):
+        thr = radii[order[thr_i]]
+        kept = [t for t, r in zip(tris, radii) if r <= thr]
+        verts = {v for t in kept for v in t}
+        if len(verts) < n:
+            continue
+        # edge -> #kept triangles; boundary edges appear exactly once
+        ec: dict[tuple[int, int], int] = {}
+        for t in kept:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                k = (min(e), max(e))
+                ec[k] = ec.get(k, 0) + 1
+        boundary = [e for e, c in ec.items() if c == 1]
+        # single simple cycle: every boundary vertex has degree 2 and
+        # one closed walk visits all boundary edges
+        deg: dict[int, list[int]] = {}
+        for u, v in boundary:
+            deg.setdefault(u, []).append(v)
+            deg.setdefault(v, []).append(u)
+        if any(len(vs) != 2 for vs in deg.values()):
+            continue
+        start = boundary[0][0]
+        ring = [start]
+        prev, cur = -1, start
+        while True:
+            nxt = [w for w in deg[cur] if w != prev]
+            if not nxt:
+                break
+            prev, cur = cur, nxt[0]
+            if cur == start:
+                break
+            ring.append(cur)
+        if len(ring) != len(deg):
+            continue
+        # triangle connectivity via shared edges
+        if len(kept) > 1:
+            adj: dict[int, set[int]] = {i: set() for i in range(len(kept))}
+            owner: dict[tuple[int, int], int] = {}
+            for i, t in enumerate(kept):
+                for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                    k = (min(e), max(e))
+                    if k in owner:
+                        adj[i].add(owner[k])
+                        adj[owner[k]].add(i)
+                    owner[k] = i
+            seen = {0}
+            stack = [0]
+            while stack:
+                for j in adj[stack.pop()]:
+                    if j not in seen:
+                        seen.add(j)
+                        stack.append(j)
+            if len(seen) < len(kept):
+                continue
+        xs = pts[ring, 0]
+        ys = pts[ring, 1]
+        # canonicalize CCW
+        if (np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))) < 0:
+            xs, ys = xs[::-1], ys[::-1]
+        return xs, ys
+    # fall back to the hull of everything (max alpha -> full Delaunay)
+    from esda_spark.operators.shape import convex_hull
+
+    h = convex_hull(pts)
+    return h[:, 0], h[:, 1]
+
+
+def cluster_boundaries(
+    points: DataFrame,
+    labels: DataFrame,
+    label_col: str = "cluster",
+) -> DataFrame:
+    """(cluster, xs, ys): auto-alpha-shape boundary ring per cluster
+    (reference ``get_cluster_boundary``, adbscan.py:461-543), noise
+    (-1) excluded.  One task per cluster via applyInPandas — clusters
+    are ADBSCAN outputs and bounded by design; rings use this engine's
+    coordinate-array polygon representation (shape.py operators apply
+    directly)."""
+    import pandas as pd
+
+    lab = labels.select("id", F.col(label_col).alias("cluster"))
+    pts = (
+        points.select("id", "x", "y").join(lab, "id")
+        .where(F.col("cluster") != NOISE)
+    )
+
+    def one(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) == 0:
+            return pd.DataFrame({"cluster": [], "xs": [], "ys": []})
+        xy = pdf[["x", "y"]].to_numpy(np.float64)
+        xs, ys = _alpha_shape_auto(xy)
+        return pd.DataFrame({
+            "cluster": [int(key[0])],
+            "xs": [xs.tolist()], "ys": [ys.tolist()],
+        })
+
+    return pts.groupBy("cluster").applyInPandas(
+        one, "cluster long, xs array<double>, ys array<double>"
     )

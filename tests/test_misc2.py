@@ -368,3 +368,49 @@ def test_prominence_chain_fixture(spark):
     want = np.array(d) - min(d)
     for i in range(3):
         assert e2[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_cluster_boundaries_alpha_shape(spark):
+    from esda_spark.operators.adbscan import cluster_boundaries
+    from esda_spark.operators.shape import ring_area
+
+    # dense grid over an L-shape: alpha shape should hug the L (area
+    # ~ L area), well below the convex hull area
+    pts_l = [(x * 0.5, y * 0.5) for x in range(9) for y in range(9)
+             if x <= 4 or y <= 4]
+    # plus a separate dense square cluster far away
+    pts_sq = [(20 + x * 0.5, 20 + y * 0.5) for x in range(5) for y in range(5)]
+    allpts = pts_l + pts_sq
+    rows = [(i, float(p[0]), float(p[1])) for i, p in enumerate(allpts)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    labels = spark.createDataFrame(
+        [(i, 0 if i < len(pts_l) else 1) for i in range(len(allpts))]
+        + [],
+        "id long, cluster int",
+    )
+    res = {r.cluster: r for r in cluster_boundaries(pts, labels).collect()}
+    a_l = ring_area(np.array(res[0].xs), np.array(res[0].ys))
+    a_sq = ring_area(np.array(res[1].xs), np.array(res[1].ys))
+    # L region: 4x4 + 4x2 ... actual union: x<=2 or y<=2 within 4x4 box
+    l_area = 4.0 * 4.0 - 2.0 * 2.0   # big square minus missing notch
+    assert a_l == pytest.approx(l_area, rel=0.15), a_l
+    hull_area = 4.0 * 4.0  # convex hull of the L fills the box
+    assert a_l < hull_area * 0.95
+    assert a_sq == pytest.approx(4.0, rel=0.1), a_sq
+    # every ring vertex is one of the cluster's own points
+    ptset = {(round(p[0], 9), round(p[1], 9)) for p in pts_l}
+    for x, y in zip(res[0].xs, res[0].ys):
+        assert (round(x, 9), round(y, 9)) in ptset
+
+
+def test_cluster_boundaries_noise_excluded(spark):
+    from esda_spark.operators.adbscan import cluster_boundaries
+
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 0.0, 1.0), (3, 99.0, 99.0)],
+        "id long, x double, y double")
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, -1)], "id long, cluster int")
+    rows = cluster_boundaries(pts, labels).collect()
+    assert len(rows) == 1 and rows[0].cluster == 0
+    assert len(rows[0].xs) == 3
