@@ -567,6 +567,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return path_silhouette(pts, labels, _edges(spark, sf), ["x", "y"])
 
+    def correlogram_lowess_q(spark, sf):
+        from esda_spark.operators.correlogram import lowess_correlogram
+
+        res = lowess_correlogram(
+            _points(spark, sf), "y_cont", [15.0, 30.0], cell_size=15.0
+        )
+        rows = [(float(r["support"]), float(r["lowess"])) for r in res]
+        return spark.createDataFrame(rows, "support double, lowess double")
+
     def cluster_boundaries_q(spark, sf):
         from esda_spark.operators.adbscan import cluster_boundaries, dbscan
 
@@ -771,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "choynowski": choynowski_q,
         "prominence": prominence_q,
         "cluster_boundaries": cluster_boundaries_q,
+        "correlogram_lowess": correlogram_lowess_q,
         "age_standardization_ci": age_std_ci_q,
         "age_adjusted_smoother": age_adjusted_smoother_q,
         "weighted_median_rate": weighted_median_rate_q,

@@ -70,3 +70,105 @@ def correlogram(
         out.append(res)
     cand.unpersist()
     return out
+
+
+def lowess_correlogram(
+    points: DataFrame,
+    value_col: str,
+    xvals: list[float],
+    cell_size: float | None = None,
+    frac: float | None = None,
+) -> list[dict]:
+    """Nonparametric correlogram (reference ``correlogram.py:215-306``):
+    lowess-smooth the spatial-covariation model z_i z_j = f(d_ij) on
+    pair distances, evaluated at ``xvals``.
+
+    Distributed deviation from the reference (documented): the
+    reference densifies the full n^2 distance matrix and calls
+    statsmodels' lowess (robustifying iterations included).  Here the
+    pair set is a single cell-candidate join bounded by the largest
+    xval plus one bin width (only local pairs influence local fits),
+    the span fraction defaults to the reference's ``bin_frac`` rule,
+    each x0's bandwidth is the frac-quantile of |d - x0|
+    (approxQuantile), and the local fit is tricube-weighted LINEAR
+    regression in closed form from five aggregates — numerically
+    equivalent smoothing, not bit-identical to statsmodels (no robust
+    iterations).
+    """
+    xvals = sorted(float(x) for x in xvals)
+    if len(xvals) >= 2:
+        lo_w = xvals[1] - xvals[0]
+        hi_w = xvals[-1] - xvals[-2]
+    else:
+        lo_w = hi_w = max(xvals[0], 1.0)
+    lo = max(xvals[0] - lo_w / 2, 0.0)
+    hi = xvals[-1] + hi_w / 2
+    d_max = hi + max(lo_w, hi_w)
+    if cell_size is None:
+        cell_size = d_max
+    radius = max(int(math.ceil(d_max / cell_size)), 1)
+
+    agg = points.agg(
+        F.count("*").alias("n"), F.avg(value_col).alias("mu"),
+        F.stddev_pop(value_col).alias("sd"),
+    ).collect()[0]
+    n, mu, sd = int(agg.n), float(agg.mu), float(agg.sd)
+    z = points.select(
+        "id", "x", "y",
+        ((F.col(value_col) - F.lit(mu)) / F.lit(sd)).alias("z"),
+    )
+    pts = with_cell(z, cell_size)
+    targets = pts.select(
+        F.col("id").alias("neighbor"), F.col("x").alias("nx"),
+        F.col("y").alias("ny"), F.col("z").alias("zn"), F.col("cell"),
+    )
+    dx = F.col("x") - F.col("nx")
+    dy = F.col("y") - F.col("ny")
+    pairs = (
+        expand_ring(pts, radius)
+        .join(targets, "cell")
+        .where(F.col("id") < F.col("neighbor"))  # upper triangle
+        .select(
+            F.sqrt(dx * dx + dy * dy).alias("d"),
+            (F.col("z") * F.col("zn")).alias("zz"),
+        )
+        .where(F.col("d") <= F.lit(d_max))
+        .cache()
+    )
+    n_window = pairs.count()
+    total_pairs = n * (n - 1) / 2.0
+    if frac is None:
+        in_range = pairs.where(
+            (F.col("d") >= lo) & (F.col("d") <= hi)
+        ).count()
+        frac = max(in_range / total_pairs / max(len(xvals), 1), 1e-6)
+    k = max(int(round(frac * total_pairs)), 2)
+
+    out = []
+    for x0 in xvals:
+        dd = pairs.withColumn("ad", F.abs(F.col("d") - F.lit(x0)))
+        q = min(max(k / max(n_window, 1), 1e-6), 1.0)
+        h0 = dd.approxQuantile("ad", [q], 0.001)[0] or 1e-12
+        w = (1 - (F.col("ad") / F.lit(h0)) ** 3) ** 3
+        local = dd.where(F.col("ad") <= h0).withColumn(
+            "w", F.greatest(w, F.lit(0.0))
+        )
+        row = local.agg(
+            F.sum("w").alias("sw"),
+            F.sum(F.col("w") * F.col("d")).alias("swd"),
+            F.sum(F.col("w") * F.col("d") * F.col("d")).alias("swd2"),
+            F.sum(F.col("w") * F.col("zz")).alias("swy"),
+            F.sum(F.col("w") * F.col("d") * F.col("zz")).alias("swdy"),
+        ).collect()[0]
+        sw, swd, swd2 = float(row.sw), float(row.swd), float(row.swd2)
+        swy, swdy = float(row.swy), float(row.swdy)
+        det = sw * swd2 - swd * swd
+        if abs(det) > 1e-300 * max(1.0, sw):
+            b = (sw * swdy - swd * swy) / det
+            a = (swy - b * swd) / sw
+            pred = a + b * x0
+        else:  # degenerate: all pairs at one distance -> weighted mean
+            pred = swy / sw if sw else float("nan")
+        out.append({"support": x0, "lowess": pred})
+    pairs.unpersist()
+    return out

@@ -250,3 +250,43 @@ def test_shape_inertial_measures(spark):
         want + 2.0 * (1.0 + 0.25))
     assert moment_of_inertia_global(two, normalize=True) == pytest.approx(
         4.0 / (2 * math.pi * want))
+
+
+def test_lowess_correlogram(spark):
+    from esda_spark.operators.correlogram import lowess_correlogram
+
+    rng = np.random.default_rng(23)
+    n = 300
+    xy = rng.uniform(0, 50, size=(n, 2))
+    # strong short-range spatial covariance: shared smooth field
+    y = np.sin(xy[:, 0] / 8.0) + np.sin(xy[:, 1] / 8.0) \
+        + rng.normal(0, 0.3, n)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(yy), float(v))
+         for i, ((x, yy), v) in enumerate(zip(xy, y))],
+        "id long, x double, y double, y_cont double",
+    )
+    res = lowess_correlogram(pts, "y_cont", [3.0, 10.0, 20.0],
+                             cell_size=10.0)
+    vals = {r["support"]: r["lowess"] for r in res}
+    # short-range covariance positive and decaying with distance
+    assert vals[3.0] > 0.2
+    assert vals[3.0] > vals[10.0] > vals[20.0]
+    # numpy cross-check of the same estimator definition at x0=3
+    z = (y - y.mean()) / y.std()
+    d = np.hypot(xy[:, 0][:, None] - xy[:, 0], xy[:, 1][:, None] - xy[:, 1])
+    iu = np.triu_indices(n, 1)
+    dd, zz = d[iu], np.multiply.outer(z, z)[iu]
+    lo, hi = 3.0 - 3.5, 20.0 + 5.0
+    in_range = ((dd >= max(lo, 0)) & (dd <= hi)).sum()
+    frac = in_range / len(dd) / 3
+    k = max(int(round(frac * len(dd))), 2)
+    ad = np.abs(dd - 3.0)
+    h0 = np.sort(ad)[min(k - 1, len(ad) - 1)]
+    m = ad <= h0
+    w = np.clip((1 - (ad[m] / h0) ** 3) ** 3, 0, None)
+    A = np.vstack([np.ones(m.sum()), dd[m]]).T
+    W = np.diag(w)
+    beta = np.linalg.solve(A.T @ W @ A, A.T @ W @ zz[m])
+    want = beta[0] + beta[1] * 3.0
+    assert vals[3.0] == pytest.approx(want, rel=0.05)
