@@ -641,17 +641,68 @@ def moran_bv_matrix(
     seed: int = 12345,
 ) -> dict[tuple[int, int], dict]:
     """All ordered pairs of variables -> Moran_BV results
-    (reference ``moran.py:717-811``)."""
+    (reference ``moran.py:717-811``).
+
+    Observed statistics follow SURVEY §2.1-G3's prescription: the k
+    standardizations and the k spatial lags are materialized ONCE (one
+    aggregate, one edge join lagging all k z-columns), and every
+    ordered pair's numerator is one of k(k-1) sum expressions in a
+    single final aggregate — instead of re-standardizing and re-lagging
+    per pair (2x waste at k=2, growing with k).  With permutations the
+    inference falls back to the per-pair path (each pair permutes its
+    own y).
+    """
     out: dict[tuple[int, int], dict] = {}
     k = len(value_cols)
+    if permutations:
+        for i in range(k):
+            for j in range(i + 1, k):
+                out[(i, j)] = moran_bv(
+                    points, edges, value_cols[i], value_cols[j],
+                    permutations=permutations, seed=seed,
+                )
+                out[(j, i)] = moran_bv(
+                    points, edges, value_cols[j], value_cols[i],
+                    permutations=permutations, seed=seed,
+                )
+        return out
+    w = transform_weights(edges, "r")
+    aggs = [F.count("*").alias("n")]
+    for i, c in enumerate(value_cols):
+        aggs += [F.avg(c).alias(f"m{i}"), F.stddev_samp(c).alias(f"s{i}")]
+    row = points.agg(*aggs).collect()[0]
+    n = int(row["n"])
+    z = points.select(
+        "id",
+        *[
+            ((F.col(c) - F.lit(float(row[f"m{i}"])))
+             / F.lit(float(row[f"s{i}"]))).alias(f"z{i}")
+            for i, c in enumerate(value_cols)
+        ],
+    )
+    nbr = z.select(
+        F.col("id").alias("neighbor"),
+        *[F.col(f"z{i}").alias(f"zn{i}") for i in range(k)],
+    )
+    lags = (
+        w.join(nbr, "neighbor")
+        .groupBy("focal")
+        .agg(*[
+            F.sum(F.col("weight") * F.col(f"zn{i}")).alias(f"l{i}")
+            for i in range(k)
+        ])
+        .withColumnRenamed("focal", "id")
+    )
+    joined = z.join(lags, "id")
+    sums = joined.agg(*[
+        F.sum(F.col(f"z{i}") * F.coalesce(F.col(f"l{j}"), F.lit(0.0)))
+        .alias(f"p_{i}_{j}")
+        for i in range(k) for j in range(k) if i != j
+    ]).collect()[0]
     for i in range(k):
-        for j in range(i + 1, k):
-            out[(i, j)] = moran_bv(
-                points, edges, value_cols[i], value_cols[j],
-                permutations=permutations, seed=seed,
-            )
-            out[(j, i)] = moran_bv(
-                points, edges, value_cols[j], value_cols[i],
-                permutations=permutations, seed=seed,
-            )
+        for j in range(k):
+            if i != j:
+                out[(i, j)] = {
+                    "I": float(sums[f"p_{i}_{j}"]) / (n - 1), "n": n,
+                }
     return out
