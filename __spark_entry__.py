@@ -567,6 +567,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return path_silhouette(pts, labels, _edges(spark, sf), ["x", "y"])
 
+    def image_features_q(spark, sf):
+        from esda_spark.operators.multimodal import (
+            image_features, synth_image_table,
+        )
+
+        docs = _docs(spark, sf).limit(200)
+        return image_features(synth_image_table(docs))
+
+    def audio_features_q(spark, sf):
+        from esda_spark.operators.multimodal import (
+            audio_features, synth_audio_table,
+        )
+
+        docs = _docs(spark, sf).limit(200)
+        return audio_features(synth_audio_table(docs))
+
     def correlogram_lowess_q(spark, sf):
         from esda_spark.operators.correlogram import lowess_correlogram
 
@@ -781,6 +797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prominence": prominence_q,
         "cluster_boundaries": cluster_boundaries_q,
         "correlogram_lowess": correlogram_lowess_q,
+        "image_features": image_features_q,
+        "audio_features": audio_features_q,
         "age_standardization_ci": age_std_ci_q,
         "age_adjusted_smoother": age_adjusted_smoother_q,
         "weighted_median_rate": weighted_median_rate_q,

@@ -84,8 +84,6 @@ def test_multimodal_plumbing(spark, sf_dir):
     }
     frames = frame_sample(imgs, every_n=16)
     assert frames.count() > 0
-    with pytest.raises(NotImplementedError):
-        image_features(imgs, fake_decode=False)
 
 
 def test_fdr_and_significance_helpers():
@@ -137,3 +135,56 @@ def test_streaming_dedup(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select * from dedup").collect()
     assert len(rows) == 40  # one survivor per distinct content hash
+
+
+def test_multimodal_real_codecs(spark, sf_dir):
+    from esda_spark.operators.multimodal import (
+        audio_features,
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        resize_images,
+        synth_audio_table,
+        synth_image_table,
+    )
+
+    # codec round-trips are bit-exact
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 255, size=(13, 17, 3), dtype=np.int64).astype("uint8")
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(arr)), arr)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(arr)), arr)
+    gray = arr[:, :, 0]
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(gray)), gray)
+    sig = rng.standard_normal(800) * 0.2
+    dec, rate = decode_wav(encode_wav(sig, 8000))
+    assert rate == 8000 and len(dec) == 800
+    np.testing.assert_allclose(dec / 32767.0, np.clip(sig, -1, 1), atol=1e-4)
+    # compressed formats refuse loudly, not silently
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"0" * 64)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    imgs = synth_image_table(docs)
+    # the synthesized payloads are genuine BMPs: decode one locally
+    row = imgs.first()
+    local = decode_image(bytes(row.payload))
+    assert local.shape == (row.height, row.width, 3)
+    # distributed resize preserves count and target dims; payloads decode
+    small = resize_images(imgs, 8, 6).collect()
+    assert len(small) == 20
+    for r in small[:3]:
+        a = decode_image(bytes(r.payload))
+        assert a.shape == (6, 8, 3)
+    # audio pipeline end-to-end: synth -> features
+    wavs = synth_audio_table(docs, rate=8000, seconds=0.1)
+    af = {r.doc_id: r for r in audio_features(wavs).collect()}
+    assert len(af) == 20
+    for r in af.values():
+        assert r.sample_rate == 8000
+        assert r.duration_sec == pytest.approx(0.1, rel=0.01)
+        assert 0.1 < r.rms < 0.6          # 0.5-amplitude sine + noise
+        assert 0.0 < r.zcr < 0.5
