@@ -108,32 +108,31 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b): pairs sharing >=1 LSH band (doc_a < doc_b).
 
-    Band key = the tuple of rows in the band; self-join per band then
-    distinct across bands.  At scale, hot buckets (boilerplate pages)
-    are the skew axis — AQE skew join splits them.
+    ONE self-join on the (band_index, band_key) pair: each signature
+    explodes into its ``bands`` keys (posexplode keeps the band index
+    in the join key so different bands never collide), so the shuffle
+    runs once instead of once per band.  At scale, hot buckets
+    (boilerplate pages) are the skew axis — AQE skew join splits them.
     """
     rows_per_band = num_hashes // bands
-    keyed = signatures.select(
-        "doc_id",
-        *[
-            F.concat_ws(
-                ",", *[F.col(f"h{b * rows_per_band + r}")
-                       for r in range(rows_per_band)]
-            ).alias(f"band{b}")
-            for b in range(bands)
-        ],
-    )
-    pairs = None
-    for b in range(bands):
-        left = keyed.select(F.col("doc_id").alias("doc_a"),
-                            F.col(f"band{b}").alias("bk"))
-        right = keyed.select(F.col("doc_id").alias("doc_b"),
-                             F.col(f"band{b}").alias("bk"))
-        p = left.join(right, "bk").where(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
+    band_keys = F.array(*[
+        F.concat_ws(
+            ",", *[F.col(f"h{b * rows_per_band + r}")
+                   for r in range(rows_per_band)]
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        for b in range(bands)
+    ])
+    keyed = signatures.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bk")
+    )
+    left = keyed.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    right = keyed.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    return (
+        left.join(right, ["band", "bk"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
