@@ -397,26 +397,33 @@ def weights_summary(edges: DataFrame) -> dict[str, float]:
     s0 = sum w_ij;  s1 = 1/2 sum (w_ij + w_ji)^2;
     s2 = sum_i (row_sum_i + col_sum_i)^2.
 
-    One self-join on the reversed key pair for the transpose term and
-    two aggregates; the result is a handful of broadcast scalars.
+    Fused one-pass s1 (no transpose self-join): edges group on the
+    UNORDERED key (least, greatest) so w_ij and w_ji land in the same
+    group and (w_ij + w_ji)^2 is the squared group sum — one
+    map-side-combinable aggregate instead of a full-outer join against
+    the reversed edge set.  Self-loops contribute 2*w_ii^2 and are
+    folded into the same pass.
     """
     e = edges.select("focal", "neighbor", "weight")
-    t = edges.select(
-        F.col("neighbor").alias("focal"),
-        F.col("focal").alias("neighbor"),
-        F.col("weight").alias("weight_t"),
-    )
-    sym = e.join(t, ["focal", "neighbor"], "full_outer").select(
-        F.coalesce("weight", F.lit(0.0)).alias("w"),
-        F.coalesce("weight_t", F.lit(0.0)).alias("wt"),
-    )
-    s0, s1 = (
-        sym.agg(
-            F.sum("w").alias("s0"),
-            (F.sum((F.col("w") + F.col("wt")) * (F.col("w") + F.col("wt"))) / 2.0).alias("s1"),
+    base = e.agg(
+        F.sum("weight").alias("s0"),
+        F.sum(
+            F.when(F.col("focal") == F.col("neighbor"),
+                   2.0 * F.col("weight") * F.col("weight")).otherwise(0.0)
+        ).alias("s1_diag"),
+    ).collect()[0]
+    off = (
+        e.where(F.col("focal") != F.col("neighbor"))
+        .groupBy(
+            F.least("focal", "neighbor").alias("a"),
+            F.greatest("focal", "neighbor").alias("b"),
         )
-        .collect()[0]
+        .agg(F.sum("weight").alias("ws"))
+        .agg(F.sum(F.col("ws") * F.col("ws")))
+        .collect()[0][0]
     )
+    s0 = float(base.s0)
+    s1 = float(base.s1_diag) + float(off or 0.0)
     rows = edges.groupBy("focal").agg(F.sum("weight").alias("rw")).withColumnRenamed("focal", "node")
     cols = (
         edges.groupBy("neighbor").agg(F.sum("weight").alias("cw"))
