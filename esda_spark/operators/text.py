@@ -172,34 +172,61 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash): 60-bit SimHash over token h60 hashes.
 
-    One aggregate with ``bits`` sum expressions — vote for bit b is
-    ((th >> b) & 1) * 2 - 1, summed per doc with map-side partial
-    aggregation, then the sign vector folds back into one BIGINT with
-    pure column math.  Shuffle input is #docs rows of 60 longs; the
-    previous form exploded tokens x bits (a 60x row inflation before
-    the aggregate) and is retained only as the SQL oracle rendering.
-    Values are bit-identical to the exploded form (th is a nonnegative
-    60-bit hash, so div/mod by 2^b equals shift/mask).
+    One aggregate, SIMD-in-a-register: per token, bit b's one-count
+    packs into a 16-bit lane (4 lanes per 64-bit sum, 15 sums + a token
+    count for 60 bits), so per-doc state is 16 longs with map-side
+    partial aggregation and lanes can't overflow below 65,536 tokens
+    per document.  The majority vote is exact integer math: the +/-1
+    vote sum s_b = 2*c_b - T, so s_b > 0 iff 2*c_b > T.  Shuffle input
+    is #docs rows of 16 longs; the original form exploded tokens x
+    bits (a 60x row inflation before the aggregate) and is retained
+    only as the SQL oracle rendering — values are bit-identical (th is
+    a nonnegative 60-bit hash, so div/mod by 2^b equals shift/mask).
     """
+    lanes_per_word = 4  # 16-bit lanes
+    n_words = (bits + lanes_per_word - 1) // lanes_per_word
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens_col(F.col(text_col))).alias("tok"),
     ).withColumn("th", h60(F.col("tok")))
-    aggs = [
-        F.sum(
-            F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"_s{b}")
-        for b in range(bits)
-    ]
+    aggs = [F.count("*").alias("_t")]
+    for wi in range(n_words):
+        lane_sum = None
+        for li in range(lanes_per_word):
+            b = wi * lanes_per_word + li
+            if b >= bits:
+                break
+            t = F.shiftleft(
+                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)), 16 * li
+            )
+            lane_sum = t if lane_sum is None else lane_sum + t
+        aggs.append(F.sum(lane_sum).alias(f"_w{wi}"))
     votes = toks.groupBy("doc_id").agg(*aggs)
+    # two shallow projections (4-term word contributions, then a
+    # 15-term sum) — a single left-deep 60-term chain is depth-60 and
+    # falls out of codegen into slow interpreted evaluation
+    word_cols = []
+    for wi in range(n_words):
+        contrib = None
+        for li in range(lanes_per_word):
+            b = wi * lanes_per_word + li
+            if b >= bits:
+                break
+            c_b = F.shiftright(F.col(f"_w{wi}"), 16 * li).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            t = (
+                F.when(2 * c_b > F.col("_t"), F.lit(1 << b).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            contrib = t if contrib is None else contrib + t
+        word_cols.append(contrib.alias(f"_c{wi}"))
+    staged = votes.select("doc_id", *word_cols)
     sim = None
-    for b in range(bits):
-        t = (
-            F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-        )
-        sim = t if sim is None else sim + t
-    return votes.select("doc_id", sim.alias("simhash"))
+    for wi in range(n_words):
+        c = F.col(f"_c{wi}")
+        sim = c if sim is None else sim + c
+    return staged.select("doc_id", sim.alias("simhash"))
 
 
 # language stopword markers (tiny built-in lists; heuristic language ID)
