@@ -1727,4 +1727,83 @@ UNION ALL
 {_moran_band_sql(30.0)}
 """
 
+    # ---- oracle entries beyond the driver's 50-query window: these are
+    # exercised by tests/test_entry.py's parametrized mirror (atol 2e-6),
+    # giving the rows-only queries independent SQL verification anyway.
+
+    # Poisson CDF as an explicit series (e <= ~100 per unit here):
+    # P(X <= k) = sum_{i=0..k} exp(-mu + i ln mu - lgamma(i+1))
+    _PCDF = ("list_sum(list_transform(range(0, CAST({k} AS BIGINT) + 1), "
+             "i -> exp(-({mu}) + i * ln({mu}) - lgamma(i + 1))))")
+    sql["choynowski"] = f"WITH {_pts_cte()}" + f"""
+, tot AS (SELECT sum(e) / sum(b) AS r FROM pts)
+SELECT id,
+  round(CASE WHEN e <= tot.r * b
+        THEN {_PCDF.format(k='e', mu='tot.r * b')}
+        ELSE 1.0 - {_PCDF.format(k='e - 1', mu='tot.r * b')}
+        END, 9) AS p
+FROM pts CROSS JOIN tot
+"""
+
+    sql["spatial_median_rate"] = _with(P, E) + """
+, closed AS (
+  SELECT focal, neighbor FROM edges
+  UNION ALL SELECT id, id FROM pts
+)
+, nbh AS (
+  SELECT c.focal, pn.e / pn.b AS rn
+  FROM closed c JOIN pts pn ON pn.id = c.neighbor
+)
+SELECT p.id, round(m.med, 9) AS smr
+FROM pts p LEFT JOIN (
+  SELECT focal, median(rn) AS med FROM nbh GROUP BY 1
+) m ON m.focal = p.id
+"""
+
+    sql["weighted_median_rate"] = _with(P, E) + """
+, closed AS (
+  SELECT focal, neighbor FROM edges
+  UNION ALL SELECT id, id FROM pts
+)
+, nbh AS (
+  SELECT c.focal, c.neighbor, pn.e / pn.b AS rn, pn.b AS awn
+  FROM closed c JOIN pts pn ON pn.id = c.neighbor
+)
+, cumed AS (
+  SELECT focal, neighbor, rn,
+         sum(awn) OVER (PARTITION BY focal ORDER BY rn, neighbor
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(awn) OVER (PARTITION BY focal) AS tot
+  FROM nbh
+)
+, wm AS (
+  SELECT focal, rn, cum, tot,
+         lead(rn) OVER (PARTITION BY focal ORDER BY rn, neighbor) AS nxt,
+         lag(cum) OVER (PARTITION BY focal ORDER BY rn, neighbor) AS prevcum
+  FROM cumed
+)
+SELECT p.id, round(m.wmr, 9) AS wmr
+FROM pts p LEFT JOIN (
+  SELECT focal,
+         CASE WHEN cum = tot / 2 AND nxt IS NOT NULL
+              THEN (rn + nxt) / 2.0 ELSE rn END AS wmr
+  FROM wm
+  WHERE cum >= tot / 2 AND (prevcum IS NULL OR prevcum < tot / 2)
+) m ON m.focal = p.id
+"""
+
+    sql["ann_topk"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 10)
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.query_id, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+                    e.vec_id
+         ) AS rank
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+) WHERE rank <= 10
+"""
+
     return {k: _normalize_neg_zero(v) for k, v in sql.items()}
