@@ -1792,6 +1792,43 @@ FROM pts p LEFT JOIN (
 ) m ON m.focal = p.id
 """
 
+    # DBSCAN: transitive closure of the core-core graph by recursive
+    # CTE (min reachable core id = the engine's min-label propagation),
+    # border points take the min cluster among core neighbors
+    sql["dbscan"] = f"WITH RECURSIVE {_pts_cte()}" + """
+, be AS (
+  SELECT a.id AS focal, b.id AS neighbor
+  FROM pts a JOIN pts b
+    ON a.id <> b.id
+   AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 4.0
+)
+, core AS (
+  SELECT focal AS id FROM be GROUP BY 1 HAVING count(*) >= 3
+)
+, ce AS (
+  SELECT be.focal, be.neighbor FROM be
+  JOIN core c1 ON c1.id = be.focal
+  JOIN core c2 ON c2.id = be.neighbor
+)
+, reach(id, lbl) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.focal, r.lbl FROM ce e JOIN reach r ON r.id = e.neighbor
+)
+, lab AS (SELECT id, min(lbl) AS cluster FROM reach GROUP BY 1)
+, border AS (
+  SELECT be.focal AS id, min(l.cluster) AS cluster
+  FROM be JOIN lab l ON l.id = be.neighbor
+  WHERE be.focal NOT IN (SELECT id FROM core)
+  GROUP BY 1
+)
+SELECT p.id,
+       coalesce(l.cluster, b2.cluster, CAST(-1 AS BIGINT)) AS cluster
+FROM pts p
+LEFT JOIN lab l ON l.id = p.id
+LEFT JOIN border b2 ON b2.id = p.id
+"""
+
     sql["ann_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv
            FROM embeddings WHERE vec_id < 10)

@@ -188,3 +188,44 @@ def test_multimodal_real_codecs(spark, sf_dir):
         assert r.duration_sec == pytest.approx(0.1, rel=0.01)
         assert 0.1 < r.rms < 0.6          # 0.5-amplitude sine + noise
         assert 0.0 < r.zcr < 0.5
+
+
+def test_streaming_hot_cell_tracker(spark, tmp_path):
+    import os
+
+    from esda_spark.streaming.stateful import hot_cell_tracker
+
+    src = str(tmp_path / "hot_src")
+    os.makedirs(src)
+    # 300 docs in one hot cell (x,y ~ 0), 30 spread across others
+    batch = spark.range(330).select(
+        F.col("id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.when(F.col("id") < 300, 0.5)
+        .otherwise((F.col("id") % 11 + 1) * 10.0).cast("double").alias("x"),
+        F.when(F.col("id") < 300, 0.5)
+        .otherwise((F.col("id") % 7 + 1) * 10.0).cast("double").alias("y"),
+    )
+    batch.write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    out = hot_cell_tracker(stream, cell_size=5.0, hot_threshold=100,
+                           emit_every=50)
+    q = (
+        out.writeStream.format("memory").queryName("hotcells")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from hotcells").collect()
+    assert rows, "tracker emitted nothing"
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    # exactly one cell is hot, with the full 300-count visible
+    hot = [c for c, rs in by_cell.items() if any(x.is_hot for x in rs)]
+    assert len(hot) == 1
+    assert max(x.total for x in by_cell[hot[0]]) == 300
+    # sparse cells emitted their first-appearance row, not hot
+    sparse = [c for c in by_cell if c not in hot]
+    assert sparse
+    assert all(not x.is_hot and x.total < 100
+               for c in sparse for x in by_cell[c])
