@@ -109,13 +109,16 @@ def _gamma_ppf_scalar(q: float, a: float, scale: float = 1.0) -> float:
         if hi > 1e12:
             break
     lo = 0.0
-    for _ in range(200):
+    for _ in range(2000):
         mid = 0.5 * (lo + hi)
         if (1.0 - _gammainc_q_scalar(a, mid)) < q:
             lo = mid
         else:
             hi = mid
-        if hi - lo <= 1e-15 * max(hi, 1.0):
+        # tolerance relative to the CURRENT bracket: for tiny shape
+        # parameters the quantile itself is tiny and the CDF is steep,
+        # so an absolute cut loses many digits of q
+        if hi - lo <= 1e-16 * hi or hi <= 1e-300:
             break
     return 0.5 * (lo + hi) * scale
 
