@@ -244,6 +244,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _round(res.select("id", "Is", "q", "EIc", "VIc"),
                       ["Is", "EIc", "VIc"])
 
+    def g_local_star_observed(spark, sf):
+        res = lstats.g_local(
+            _points(spark, sf), _edges(spark, sf), "y_cont",
+            star=True, transform="R", permutations=0,
+        )
+        return _round(res.select("id", "Gs", "EGs", "Zs"),
+                      ["Gs", "EGs", "Zs"])
+
     def g_local_observed(spark, sf):
         res = lstats.g_local(
             _points(spark, sf), _edges(spark, sf), "y_cont",
@@ -796,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "choynowski": choynowski_q,
         "prominence": prominence_q,
         "cluster_boundaries": cluster_boundaries_q,
+        "g_local_star_observed": g_local_star_observed,
         "correlogram_lowess": correlogram_lowess_q,
         "image_features": image_features_q,
         "audio_features": audio_features_q,
@@ -1062,6 +1071,32 @@ SELECT p.id,
                   / (((ms.sy - p.y_cont)/(ms.n-1.0))*((ms.sy - p.y_cont)/(ms.n-1.0))))),
         {ND}) AS Zs
 FROM pts p CROSS JOIN ms LEFT JOIN lagt l ON l.id = p.id
+"""
+
+    sql["g_local_star_observed"] = _with(P, E) + f"""
+, ms AS (SELECT count(*) AS n, sum(y_cont) AS sy,
+                sum(y_cont*y_cont) AS sy2 FROM pts)
+, selfe AS (
+  SELECT focal, neighbor, weight FROM edges
+  UNION ALL SELECT id, id, 1.0 FROM pts
+)
+, wstd AS (
+  SELECT focal, neighbor,
+         weight / sum(weight) OVER (PARTITION BY focal) AS weight
+  FROM selfe
+)
+, lagt AS (
+  SELECT w.focal AS id, sum(w.weight * pn.y_cont) AS lag
+  FROM wstd w JOIN pts pn ON pn.id = w.neighbor GROUP BY 1
+)
+SELECT p.id,
+  round(l.lag / ms.sy, {ND}) AS Gs,
+  round(1.0 / ms.n, {ND}) AS EGs,
+  round((l.lag / ms.sy - 1.0 / ms.n)
+        / sqrt((1.0 / (ms.n * ms.n))
+               * ((ms.sy2 / ms.n - (ms.sy / ms.n) * (ms.sy / ms.n))
+                  / ((ms.sy / ms.n) * (ms.sy / ms.n)))), {ND}) AS Zs
+FROM pts p CROSS JOIN ms JOIN lagt l ON l.id = p.id
 """
 
     sql["geary_local_observed"] = _with(P, E, W) + f"""
