@@ -673,6 +673,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             permutations=99, seed=12345,
         )
 
+    def moran_local_conditional_observed(spark, sf):
+        res = lstats.moran_local_conditional(
+            _points(spark, sf), _edges(spark, sf), "y_cont", ["e", "b"],
+            permutations=0,
+        )
+        return _round(res.select("id", "yf", "lag", "assoc", "labels"),
+                      ["yf", "lag", "assoc"])
+
     def moran_local_partial_q(spark, sf):
         return lstats.moran_local_partial(
             _points(spark, sf), _edges(spark, sf), "y_cont", ["e"],
@@ -805,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prominence": prominence_q,
         "cluster_boundaries": cluster_boundaries_q,
         "g_local_star_observed": g_local_star_observed,
+        "moran_local_conditional_observed": moran_local_conditional_observed,
         "correlogram_lowess": correlogram_lowess_q,
         "image_features": image_features_q,
         "audio_features": audio_features_q,
@@ -1862,6 +1871,62 @@ SELECT p.id,
 FROM pts p
 LEFT JOIN lab l ON l.id = p.id
 LEFT JOIN border b2 ON b2.id = p.id
+"""
+
+    # conditional local Moran (observed): closed-form 3x3 Cramer OLS on
+    # the standardized design [1, z_e, z_b], residual LISA over the
+    # row-standardized kNN weights
+    sql["moran_local_conditional_observed"] = _with(P, E, W) + f"""
+, ms AS (SELECT count(*) AS n,
+                avg(y_cont) AS my, stddev_pop(y_cont) AS sy,
+                avg(e) AS me, stddev_pop(e) AS se,
+                avg(b) AS mb, stddev_pop(b) AS sb FROM pts)
+, zt AS (
+  SELECT id,
+         (y_cont - ms.my) / ms.sy AS yc,
+         (e - ms.me) / ms.se AS x0,
+         (b - ms.mb) / ms.sb AS x1
+  FROM pts, ms
+)
+, gm AS (
+  SELECT count(*) * 1.0 AS g00, sum(x0) AS g01, sum(x1) AS g02,
+         sum(x0*x0) AS g11, sum(x0*x1) AS g12, sum(x1*x1) AS g22,
+         sum(yc) AS v0, sum(x0*yc) AS v1, sum(x1*yc) AS v2
+  FROM zt
+)
+, beta AS (
+  SELECT
+    (g00*(g11*g22 - g12*g12) - g01*(g01*g22 - g12*g02)
+     + g02*(g01*g12 - g11*g02)) AS det,
+    (v0*(g11*g22 - g12*g12) - g01*(v1*g22 - g12*v2)
+     + g02*(v1*g12 - g11*v2)) AS d0,
+    (g00*(v1*g22 - v2*g12) - v0*(g01*g22 - g12*g02)
+     + g02*(g01*v2 - v1*g02)) AS d1,
+    (g00*(g11*v2 - g12*v1) - g01*(g01*v2 - v1*g02)
+     + v0*(g01*g12 - g11*g02)) AS d2
+  FROM gm
+)
+, resid AS (
+  SELECT zt.id,
+         zt.yc - (beta.d0/beta.det + (beta.d1/beta.det)*zt.x0
+                  + (beta.d2/beta.det)*zt.x1) AS yf
+  FROM zt CROSS JOIN beta
+)
+, dent AS (SELECT sum(yf*yf) AS den FROM resid)
+, lagt AS (
+  SELECT w.focal AS id, sum(w.weight * r2.yf) AS lag
+  FROM w JOIN resid r2 ON r2.id = w.neighbor GROUP BY 1
+)
+SELECT r.id,
+  round(r.yf, {ND}) AS yf,
+  round(coalesce(l.lag, 0.0), {ND}) AS lag,
+  round(r.yf * coalesce(l.lag, 0.0) / dent.den * (ms.n - 1.0), {ND}) AS assoc,
+  CASE WHEN r.yf > 0 AND coalesce(l.lag, 0.0) > 0 THEN 1
+       WHEN r.yf > 0 AND coalesce(l.lag, 0.0) <= 0 THEN 4
+       WHEN r.yf <= 0 AND coalesce(l.lag, 0.0) > 0 THEN 2
+       ELSE 3 END AS labels
+FROM resid r CROSS JOIN dent CROSS JOIN ms
+LEFT JOIN lagt l ON l.id = r.id
 """
 
     sql["ann_topk"] = """
