@@ -1929,6 +1929,29 @@ FROM resid r CROSS JOIN dent CROSS JOIN ms
 LEFT JOIN lagt l ON l.id = r.id
 """
 
+    # age-adjusted smoother: per-age binary lag over the kNN edges,
+    # then direct standardization with the unit's own standard pop
+    sql["age_adjusted_smoother"] = _with(P, E) + f"""
+, long AS (
+  SELECT id, CAST(id % 2 AS INT) AS age, e, b, b + 50.0 AS s FROM pts
+)
+, lagged AS (
+  SELECT ed.focal AS id, ln.age,
+         sum(ln.e) AS el, sum(ln.b) AS bl
+  FROM edges ed JOIN long ln ON ln.id = ed.neighbor
+  GROUP BY 1, 2
+)
+, sm AS (
+  SELECT lg.id, lg.age, lg.el, lg.bl, lo.s
+  FROM lagged lg JOIN long lo ON lo.id = lg.id AND lo.age = lg.age
+)
+, stot AS (SELECT id, sum(s) AS st FROM sm GROUP BY 1)
+SELECT sm.id,
+       round(sum((sm.el / sm.bl) * (sm.s / stot.st)), 9) AS rate
+FROM sm JOIN stot ON stot.id = sm.id
+GROUP BY sm.id
+"""
+
     sql["ann_topk"] = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv
            FROM embeddings WHERE vec_id < 10)
