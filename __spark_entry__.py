@@ -554,6 +554,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             nearest_label(pts, labels, ["x", "y"]), ["dissim"],
         )
 
+    def polygon_contiguity_q(spark, sf):
+        from esda_spark.operators.weights import polygon_contiguity
+        from esda_spark.sources.polygons import grid_tiling
+
+        polys = grid_tiling(spark, 8, (0.0, 0.0, 80.0, 80.0))
+        q = polygon_contiguity(polys, queen=True).withColumn(
+            "kind", F.lit("queen"))
+        r = polygon_contiguity(polys, queen=False).withColumn(
+            "kind", F.lit("rook"))
+        return q.unionByName(r).select("kind", "focal", "neighbor", "weight")
+
     def boundary_silhouette_q(spark, sf):
         from esda_spark.operators.silhouettes import boundary_silhouette
 
@@ -814,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_boundaries": cluster_boundaries_q,
         "g_local_star_observed": g_local_star_observed,
         "moran_local_conditional_observed": moran_local_conditional_observed,
+        "polygon_contiguity": polygon_contiguity_q,
         "correlogram_lowess": correlogram_lowess_q,
         "image_features": image_features_q,
         "audio_features": audio_features_q,
@@ -1950,6 +1962,31 @@ SELECT sm.id,
        round(sum((sm.el / sm.bl) * (sm.s / stot.st)), 9) AS rate
 FROM sm JOIN stot ON stot.id = sm.id
 GROUP BY sm.id
+"""
+
+    # contiguity recovered from raw tile geometry must equal the
+    # combinatorial lattice adjacency (8x8 grid, id = col + row*8 in
+    # grid_tiling's ordering: poly_id % 8 = col, poly_id / 8 = row)
+    sql["polygon_contiguity"] = """
+WITH cells AS (
+  SELECT i AS id, i % 8 AS c, i // 8 AS r
+  FROM (SELECT unnest(range(64)) AS i)
+)
+, offs AS (
+  SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1)) AS t(dr, dc)
+)
+, offs_q AS (
+  SELECT * FROM (VALUES (-1,0),(1,0),(0,-1),(0,1),
+                        (-1,-1),(-1,1),(1,-1),(1,1)) AS t(dr, dc)
+)
+SELECT 'rook' AS kind, a.id AS focal,
+       (a.r + o.dr) * 8 + (a.c + o.dc) AS neighbor, 1.0 AS weight
+FROM cells a CROSS JOIN offs o
+WHERE a.r + o.dr BETWEEN 0 AND 7 AND a.c + o.dc BETWEEN 0 AND 7
+UNION ALL
+SELECT 'queen', a.id, (a.r + o.dr) * 8 + (a.c + o.dc), 1.0
+FROM cells a CROSS JOIN offs_q o
+WHERE a.r + o.dr BETWEEN 0 AND 7 AND a.c + o.dc BETWEEN 0 AND 7
 """
 
     sql["ann_topk"] = """

@@ -496,3 +496,44 @@ def kernel_edges(
         )
         edges = edges.unionByName(selfe)
     return edges
+
+
+def polygon_contiguity(
+    polygons: DataFrame, queen: bool = True, precision: int = 9,
+) -> DataFrame:
+    """(focal, neighbor, weight): contiguity weights from raw polygon
+    geometry (libpysal ``Queen``/``Rook`` semantics: queen = polygons
+    sharing >= 1 vertex, rook = sharing >= 2 vertices — the shapefile
+    convention for conforming meshes).
+
+    Spark form: explode rings to vertices, quantize coordinates to
+    ``precision`` decimals as the join key, one self-join on the vertex
+    key + a shared-vertex count per unordered pair.  Distributes as a
+    single shuffle on the vertex key; degenerate hot vertices (many
+    polygons meeting at one point) are bounded by the mesh's valence.
+    """
+    verts = polygons.select(
+        "poly_id",
+        F.explode(F.arrays_zip("xs", "ys")).alias("v"),
+    ).select(
+        "poly_id",
+        F.round(F.col("v.xs"), precision).alias("vx"),
+        F.round(F.col("v.ys"), precision).alias("vy"),
+    ).distinct()
+    a = verts.select(F.col("poly_id").alias("pa"), "vx", "vy")
+    b = verts.select(F.col("poly_id").alias("pb"), "vx", "vy")
+    shared = (
+        a.join(b, ["vx", "vy"])
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("nshared"))
+    )
+    need = 1 if queen else 2
+    pairs = shared.where(F.col("nshared") >= need).select("pa", "pb")
+    return (
+        pairs.select(F.col("pa").alias("focal"),
+                     F.col("pb").alias("neighbor"))
+        .unionByName(pairs.select(F.col("pb").alias("focal"),
+                                  F.col("pa").alias("neighbor")))
+        .withColumn("weight", F.lit(1.0))
+    )

@@ -81,3 +81,32 @@ def test_transform_styles(spark):
     assert d.agg(F.sum("weight")).collect()[0][0] == pytest.approx(1.0)
     v = transform_weights(e, "V")
     assert v.agg(F.sum("weight")).collect()[0][0] == pytest.approx(9.0)
+
+
+def test_polygon_contiguity_rotated_grid(spark):
+    # contiguity from raw geometry is rotation-invariant: a rotated
+    # tiling must produce the identical adjacency as the lattice
+    from esda_spark.operators.weights import lattice_edges, polygon_contiguity
+    from esda_spark.sources.polygons import rotated_tiling
+
+    polys = rotated_tiling(spark, 5, (0.0, 0.0, 50.0, 50.0), theta=0.3)
+    got_rook = {
+        (r.focal, r.neighbor)
+        for r in polygon_contiguity(polys, queen=False).collect()
+    }
+    got_queen = {
+        (r.focal, r.neighbor)
+        for r in polygon_contiguity(polys, queen=True).collect()
+    }
+    want_rook = {(r.focal, r.neighbor)
+                 for r in lattice_edges(spark, 5, 5, rook=True).collect()}
+    want_queen = {(r.focal, r.neighbor)
+                  for r in lattice_edges(spark, 5, 5, rook=False).collect()}
+    # rotated_tiling ids are col-major-or-row-major consistent with
+    # grid ids: compare as sets after mapping id -> (row, col)
+    def remap(pairs, ncols=5):
+        return {((a // ncols, a % ncols), (b // ncols, b % ncols))
+                for a, b in pairs}
+
+    assert remap(got_rook) == remap(want_rook)
+    assert remap(got_queen) == remap(want_queen)
