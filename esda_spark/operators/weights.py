@@ -90,6 +90,9 @@ def knn_edges(
     if cell_size is None:
         cell_size = _estimate_cell_size(points, k)
     if density_threshold is None:
+        # keep fine cells small: per-focal ring candidates scale as
+        # ring_cells x threshold, so the radius-4 fine-level guarantee
+        # stays cheap only when cells hold O(k) points
         density_threshold = max(4 * k, 32)
 
     # --- density-level assignment (quadtree split of hot cells) ---
@@ -156,6 +159,15 @@ def knn_edges(
                              F.col("lvl"))),
                 F.lit(max_levels),
             ).alias("lvl")
+        )
+        # quantize to even depths (round UP = finer): sparsity is
+        # monotone in depth so the threshold still holds, and halving
+        # the number of distinct levels halves the frames unioned into
+        # every settlement round
+        .withColumn(
+            "lvl",
+            F.least(F.lit(max_levels),
+                    ((F.col("lvl") + 1) / 2).cast("int") * 2),
         )
     )
     labeled = (
