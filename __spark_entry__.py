@@ -554,6 +554,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             nearest_label(pts, labels, ["x", "y"]), ["dissim"],
         )
 
+    def embedding_near_dup_q(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return _round(
+            sim.embedding_near_dup_pairs(emb, threshold=0.4, mode="exact"),
+            ["sim"],
+        )
+
     def polygon_contiguity_q(spark, sf):
         from esda_spark.operators.weights import polygon_contiguity
         from esda_spark.sources.polygons import grid_tiling
@@ -826,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_local_star_observed": g_local_star_observed,
         "moran_local_conditional_observed": moran_local_conditional_observed,
         "polygon_contiguity": polygon_contiguity_q,
+        "embedding_near_dup": embedding_near_dup_q,
         "correlogram_lowess": correlogram_lowess_q,
         "image_features": image_features_q,
         "audio_features": audio_features_q,
@@ -1987,6 +1995,15 @@ UNION ALL
 SELECT 'queen', a.id, (a.r + o.dr) * 8 + (a.c + o.dc), 1.0
 FROM cells a CROSS JOIN offs_q o
 WHERE a.r + o.dr BETWEEN 0 AND 7 AND a.c + o.dc BETWEEN 0 AND 7
+"""
+
+    sql["embedding_near_dup"] = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), {ND}) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
 """
 
     sql["ann_topk"] = """

@@ -249,3 +249,65 @@ def recall_at_k(
     )
     row = per_q.agg(F.avg(F.col("h") / F.lit(float(k)))).collect()[0]
     return float(row[0]) if row[0] is not None else 0.0
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    mode: str = "lsh",
+    dim: int | None = None,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, sim): embedding-cosine near-duplicate pairs
+    (vec_a < vec_b, cosine >= threshold) — the embedding-space analogue
+    of MinHash/SimHash dedup for a training-data pipeline.
+
+    mode="lsh" (the scale path): candidates are pairs sharing a
+    (table, bucket) in OR-amplified hyperplane LSH; only candidates pay
+    the exact cosine.  True near-duplicates (cosine ~ 1) collide in a
+    given table with probability (1 - theta/pi)^p ~ (1 - eps)^p, so a
+    handful of tables gives near-perfect recall at high thresholds.
+    mode="exact": all-pairs — O(n^2), for validation and small inputs
+    only.
+    """
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    if mode == "exact":
+        a = e.select(F.col("vec_id").alias("vec_a"),
+                     F.col(vec_col).alias("va"))
+        b = e.select(F.col("vec_id").alias("vec_b"),
+                     F.col(vec_col).alias("vb"))
+        cand = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+        sim_expr = (_dot(F.col("va"), F.col("vb"))
+                    / (_norm(F.col("va")) * _norm(F.col("vb"))))
+        return (
+            cand.withColumn("sim", sim_expr)
+            .where(F.col("sim") >= threshold)
+            .select("vec_a", "vec_b", "sim")
+        )
+    if dim is None:
+        dim = len(e.select(vec_col).first()[0])
+    sig = hyperplane_signatures(
+        e, dim, num_planes, seed, "vec_id", vec_col, num_tables
+    )
+    keyed = e.join(sig, "vec_id")
+    a = keyed.select(F.col("vec_id").alias("vec_a"),
+                     F.col(vec_col).alias("va"), "table", "bucket")
+    b = keyed.select(F.col("vec_id").alias("vec_b"),
+                     F.col(vec_col).alias("vb"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim_expr = (_dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))))
+    return (
+        cand.withColumn("sim", sim_expr)
+        .where(F.col("sim") >= threshold)
+        .select("vec_a", "vec_b", "sim")
+    )

@@ -414,3 +414,29 @@ def test_cluster_boundaries_noise_excluded(spark):
     rows = cluster_boundaries(pts, labels).collect()
     assert len(rows) == 1 and rows[0].cluster == 0
     assert len(rows[0].xs) == 3
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    from esda_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(31)
+    dim, n_base = 32, 150
+    base = rng.normal(size=(n_base, dim))
+    # plant 40 near-duplicates: tiny perturbations of the first 40 rows
+    dups = base[:40] + rng.normal(0, 0.02, size=(40, dim))
+    vecs = np.vstack([base, dups])
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {(r.vec_a, r.vec_b) for r in embedding_near_dup_pairs(
+        emb, threshold=0.95, mode="exact").collect()}
+    assert len(exact) >= 40  # every planted pair qualifies
+    for i in range(40):
+        assert (i, n_base + i) in exact
+    lsh = {(r.vec_a, r.vec_b) for r in embedding_near_dup_pairs(
+        emb, threshold=0.95, mode="lsh", num_planes=8,
+        num_tables=8).collect()}
+    assert lsh <= exact  # LSH never invents pairs (exact verify step)
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, recall
