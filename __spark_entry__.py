@@ -554,6 +554,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             nearest_label(pts, labels, ["x", "y"]), ["dissim"],
         )
 
+    def by_col_observed(spark, sf):
+        res = lstats.by_col(
+            _points(spark, sf), _edges(spark, sf), lstats.moran_local,
+            ["y_cont", "e"], permutations=0,
+        )
+        cols = ["y_cont_moran_local_Is", "e_moran_local_Is"]
+        return _round(res.select("id", *cols), cols)
+
     def embedding_near_dup_q(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return _round(
@@ -834,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_local_conditional_observed": moran_local_conditional_observed,
         "polygon_contiguity": polygon_contiguity_q,
         "embedding_near_dup": embedding_near_dup_q,
+        "by_col_observed": by_col_observed,
         "correlogram_lowess": correlogram_lowess_q,
         "image_features": image_features_q,
         "audio_features": audio_features_q,
@@ -2004,6 +2013,36 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+    # by_col (P8): column-wise local Moran, observed Is for two columns
+    def _is_sql(col):
+        return f"""
+  SELECT zt.id,
+    (ms.n - 1) * zt.z * coalesce(lagt.lag, 0.0) / dent.den AS Is
+  FROM (SELECT id, ({col} - ms.mu)/ms.sd AS z
+        FROM pts, (SELECT avg({col}) AS mu, stddev_pop({col}) AS sd,
+                          count(*) AS n FROM pts) ms) zt
+  CROSS JOIN (SELECT avg({col}) AS mu, stddev_pop({col}) AS sd,
+                     count(*) AS n FROM pts) ms
+  CROSS JOIN (SELECT sum(((({col}) - (SELECT avg({col}) FROM pts))
+                          /(SELECT stddev_pop({col}) FROM pts))
+                         * ((({col}) - (SELECT avg({col}) FROM pts))
+                            /(SELECT stddev_pop({col}) FROM pts))) AS den
+              FROM pts) dent
+  LEFT JOIN (
+    SELECT w.focal AS id,
+           sum(w.weight * ((pn.{col} - (SELECT avg({col}) FROM pts))
+                           / (SELECT stddev_pop({col}) FROM pts))) AS lag
+    FROM w JOIN pts pn ON pn.id = w.neighbor GROUP BY 1
+  ) lagt ON lagt.id = zt.id
+"""
+
+    sql["by_col_observed"] = _with(P, E, W) + f"""
+SELECT a.id,
+       round(a.Is, {ND}) AS y_cont_moran_local_Is,
+       round(bb.Is, {ND}) AS e_moran_local_Is
+FROM ({_is_sql('y_cont')}) a JOIN ({_is_sql('e')}) bb ON bb.id = a.id
 """
 
     sql["ann_topk"] = """
