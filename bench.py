@@ -250,7 +250,49 @@ def kernel_scaling() -> None:
     }))
 
 
+def scale_smoke(n: int) -> None:
+    """Flagship path at an arbitrary synthetic size (beyond the driver
+    testdata): n geocoded points with 10% in 3 hot spots -> exact kNN(8)
+    -> LISA with 99 permutations.  Evidence that the partitioning and
+    quadtree skew handling hold as n grows (e.g. at n=1e6 each hot spot
+    holds ~33k points in a 0.2-degree disc)."""
+    from pyspark.sql import functions as F
+
+    from esda_spark.operators.local_stats import moran_local
+    from esda_spark.operators.weights import knn_edges
+    from esda_spark.session import get_spark
+    from esda_spark.sources.points import synthetic_points
+
+    spark = get_spark("scale-smoke", parallelism=CPUS,
+                      shuffle_partitions=max(2 * CPUS, 16))
+    pts = synthetic_points(spark, n).cache()
+    n_real = pts.count()
+    t0 = time.perf_counter()
+    edges = knn_edges(pts, k=8).cache()
+    ec = edges.count()
+    t_knn = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    moran_local(pts, edges, "y_cont", permutations=99, seed=7).agg(
+        F.sum("p_sim")
+    ).collect()
+    t_lisa = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "scale smoke (synthetic points -> exact kNN8 -> LISA x99)",
+        "n": n_real, "edges": ec,
+        "knn_sec": round(t_knn, 1),
+        "lisa_sec": round(t_lisa, 1),
+        "lisa_docs_per_sec": round(n_real / t_lisa, 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if "--scale-smoke" in sys.argv:
+        i = sys.argv.index("--scale-smoke")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1_000_000
+        scale_smoke(n)
+        return
     if "--kernel-scaling" in sys.argv:
         os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
         kernel_scaling()

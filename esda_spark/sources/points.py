@@ -112,3 +112,21 @@ SELECT
   CAST(({k} * 31) % 997 + 50 AS DOUBLE) AS b
 FROM {table}
 """
+
+
+def synthetic_points(spark: SparkSession, n: int) -> DataFrame:
+    """Canonical points table of arbitrary size from ``spark.range`` —
+    the same pure-integer geocode as :func:`points_from_table`, for
+    scale tests beyond the driver testdata (hot-spot skew included)."""
+    key = F.col("id")
+    x, y = geocode_cols(key)
+    return spark.range(n).select(
+        key.alias("id"),
+        x.alias("x"),
+        y.alias("y"),
+        ((key * F.lit(25214903917)) % F.lit(100000)).cast("double")
+        .alias("y_cont"),
+        ((key * F.lit(7919)) % F.lit(2)).cast("double").alias("y_bin"),
+        ((key * F.lit(13)) % F.lit(97) + F.lit(1)).cast("double").alias("e"),
+        ((key * F.lit(31)) % F.lit(997) + F.lit(50)).cast("double").alias("b"),
+    )
