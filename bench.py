@@ -149,9 +149,12 @@ def lisa_throughput(cpus: int, sf_dir: str, perms: int) -> dict:
 
     spark = get_spark(f"bench-scaling-{cpus}", parallelism=cpus,
                       shuffle_partitions=max(cpus, 8))
-    pts = __import__(
-        "esda_spark.sources.points", fromlist=["points_from_table"]
-    ).points_from_table(spark, sf_dir, SCALING_TABLE).cache()
+    import esda_spark.sources.points as P
+
+    if SCALING_TABLE.startswith("synthetic:"):
+        pts = P.synthetic_points(spark, int(SCALING_TABLE.split(":")[1])).cache()
+    else:
+        pts = P.points_from_table(spark, sf_dir, SCALING_TABLE).cache()
     n = pts.count()
     edges = knn_edges(pts, k=8).cache()
     edges.count()
