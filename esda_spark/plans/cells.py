@@ -112,3 +112,45 @@ def expand_ring_col(df: DataFrame, rad_col: str = "rad",
                                    F.col("cy") + F.col("off.dy")))
         .drop("off")
     )
+
+
+def unpack_cell(cell: Column) -> tuple[Column, Column]:
+    """Inverse of :func:`pack_cell`: BIGINT key -> (cx, cy) grid coords."""
+    cx = F.shiftright(cell, _CY_BITS) - F.lit(1 << 20)
+    cy = cell.bitwiseAND(F.lit((1 << _CY_BITS) - 1)) - F.lit(1 << 20)
+    return cx, cy
+
+
+def cell_parent(cell: Column, levels: int = 1) -> Column:
+    """Ancestor cell key ``levels`` up the dyadic hierarchy (the H3
+    ``cell_to_parent`` analogue; each level halves the resolution =
+    doubles the cell size).  Arithmetic shift right is floor division
+    by 2^levels, exact for negative grid coords too."""
+    cx, cy = unpack_cell(cell)
+    return pack_cell(F.shiftright(cx, levels), F.shiftright(cy, levels))
+
+
+def cell_children(cell: Column, levels: int = 1) -> Column:
+    """Array of all 4^levels descendant cell keys ``levels`` down the
+    hierarchy (H3 ``cell_to_children``)."""
+    cx, cy = unpack_cell(cell)
+    side = 1 << levels
+    kids = []
+    for dx in range(side):
+        for dy in range(side):
+            kids.append(pack_cell(
+                F.shiftleft(cx, levels) + F.lit(dx),
+                F.shiftleft(cy, levels) + F.lit(dy),
+            ))
+    return F.array(*kids)
+
+
+def cell_kring(cell: Column, k: int = 1) -> Column:
+    """Array of cell keys within Chebyshev distance ``k`` (the H3
+    ``grid_disk`` / k-ring analogue), the cell itself included."""
+    cx, cy = unpack_cell(cell)
+    ring = []
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            ring.append(pack_cell(cx + F.lit(dx), cy + F.lit(dy)))
+    return F.array(*ring)

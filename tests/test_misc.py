@@ -229,3 +229,43 @@ def test_streaming_hot_cell_tracker(spark, tmp_path):
     assert sparse
     assert all(not x.is_hot and x.total < 100
                for c in sparse for x in by_cell[c])
+
+
+def test_cell_hierarchy_roundtrip(spark):
+    from esda_spark.plans.cells import (
+        cell_children,
+        cell_key,
+        cell_kring,
+        cell_parent,
+        pack_cell,
+        unpack_cell,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"),
+        ((F.col("id") * 48271) % 720 - 360).cast("double").alias("cx2"),
+        ((F.col("id") * 16807) % 340 - 170).cast("double").alias("cy2"),
+    ).select(
+        "id",
+        (F.col("cx2") / 2).alias("x"), (F.col("cy2") / 2).alias("y"),
+    )
+    keyed = df.withColumn("cell", cell_key(F.col("x"), F.col("y"), 1.0))
+    # pack/unpack round-trip
+    ux, uy = unpack_cell(F.col("cell"))
+    rt = keyed.withColumn("cell2", pack_cell(ux, uy))
+    assert rt.where(F.col("cell") != F.col("cell2")).count() == 0
+    # parent at +1 level == direct keying at 2x cell size
+    par = keyed.withColumn("p1", cell_parent(F.col("cell"), 1)).withColumn(
+        "direct", cell_key(F.col("x"), F.col("y"), 2.0))
+    assert par.where(F.col("p1") != F.col("direct")).count() == 0
+    # every cell is among its parent's children; kring contains self
+    chk = par.withColumn(
+        "ok_child", F.array_contains(cell_children(F.col("p1"), 1),
+                                     F.col("cell"))
+    ).withColumn(
+        "ok_ring", F.array_contains(cell_kring(F.col("cell"), 2),
+                                    F.col("cell"))
+    )
+    assert chk.where(~F.col("ok_child") | ~F.col("ok_ring")).count() == 0
+    # kring size
+    assert chk.select(F.size(cell_kring(F.col("cell"), 2))).first()[0] == 25
