@@ -289,3 +289,35 @@ def test_crand_tiled_mode_parity(spark):
     assert r > 0.9, r
     agree = ((full <= 0.05) == (tiled <= 0.05)).mean()
     assert agree > 0.9, agree
+
+
+def test_crand_tiled_moments_and_keep(spark):
+    from esda_spark.operators.crand import conditional_randomization
+    from esda_spark.operators.weights import knn_edges, transform_weights
+
+    rng = np.random.default_rng(19)
+    n = 200
+    xy = rng.uniform(0, 60, size=(n, 2))
+    y = rng.normal(0, 1, n)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(yy), float(v))
+         for i, ((x, yy), v) in enumerate(zip(xy, y))],
+        "id long, x double, y double, y_cont double",
+    )
+    edges = knn_edges(pts, k=5, cell_size=15.0)
+    w = transform_weights(edges, "R")
+    z = pts.select("id", (F.col("y_cont") / float(y.std())).alias("z"))
+    obs = ls.moran_local(pts, edges, "y_cont", permutations=0).select(
+        "id", F.col("Is").alias("observed"))
+    res = conditional_randomization(
+        z, w, obs, "moran_local", permutations=99, seed=3,
+        mode="tiled", tiles=3, moments=True, keep=True,
+        alternative="two-sided",
+    ).orderBy("id").collect()
+    assert len(res) == n
+    for r in res[::11]:
+        sims = np.array(r.sims)
+        assert len(sims) == 99
+        assert r.E_sim == pytest.approx(sims.mean(), rel=1e-9)
+        assert r.V_sim == pytest.approx(sims.var(), rel=1e-9, abs=1e-15)
+        assert 0 < r.p_sim <= 1
