@@ -800,15 +800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_rates": spatial_rates,
         "pip_grid": pip_grid,
         "pip_rotated": pip_rotated,
-        "events_cell_counts": events_cell_counts,
         "dedup_exact": dedup_exact,
         "minhash_signatures": minhash_sigs,
         "lsh_pairs": lsh_pairs,
         "simhash": simhash_sigs,
-        "lang_id": lang_id_q,
-        "quality_score": quality_q,
-        "token_counts": token_counts_q,
-        "fingerprint": fingerprint_q,
         "ngram_jaccard": ngram_jaccard_q,
         "geary_local_mv_observed": geary_local_mv_observed,
         "moran_local_bv_observed": moran_local_bv_observed,
@@ -821,7 +816,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_filtering": spatial_filtering_q,
         "age_standardization": age_std_q,
         "moran_bv_matrix": moran_bv_matrix_q,
-        "raster_tiling": raster_tiling_q,
         "silhouette_alist": silhouette_q,
         "nearest_label": nearest_label_q,
         # oracle-backed queries MUST precede the rows-only ones: the
@@ -832,24 +826,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_stats_rotated": shape_stats_rotated,
         "correlogram_moran": correlogram_moran,
         "boundary_silhouette": boundary_silhouette_q,
+        # round-3 window rotation: six oracle-backed queries the driver
+        # had never scored (previously pytest-only) take the slots of
+        # six long-stable trivial rows (events_cell_counts,
+        # raster_tiling, lang_id, quality_score, token_counts,
+        # fingerprint), which keep their oracles via tests/test_entry.py
+        "dbscan": dbscan_q,
+        "polygon_contiguity": polygon_contiguity_q,
+        "moran_local_conditional_observed": moran_local_conditional_observed,
+        "by_col_observed": by_col_observed,
+        "choynowski": choynowski_q,
+        "embedding_near_dup": embedding_near_dup_q,
+        # --- end of the driver's 50-query scoring window ---
+        "events_cell_counts": events_cell_counts,
+        "raster_tiling": raster_tiling_q,
+        "lang_id": lang_id_q,
+        "quality_score": quality_q,
+        "token_counts": token_counts_q,
+        "fingerprint": fingerprint_q,
         # non-oracle (seeded permutation / ANN / iterative) — rows-only
         "lisa_full": lisa_full,
         "path_silhouette": path_silhouette_q,
-        "choynowski": choynowski_q,
         "prominence": prominence_q,
         "cluster_boundaries": cluster_boundaries_q,
         "g_local_star_observed": g_local_star_observed,
-        "moran_local_conditional_observed": moran_local_conditional_observed,
-        "polygon_contiguity": polygon_contiguity_q,
-        "embedding_near_dup": embedding_near_dup_q,
-        "by_col_observed": by_col_observed,
         "correlogram_lowess": correlogram_lowess_q,
         "image_features": image_features_q,
         "audio_features": audio_features_q,
         "age_standardization_ci": age_std_ci_q,
         "age_adjusted_smoother": age_adjusted_smoother_q,
         "weighted_median_rate": weighted_median_rate_q,
-        "dbscan": dbscan_q,
         "adbscan": adbscan_q,
         "local_crossplot": local_crossplot_q,
         "moran_local_partial": moran_local_partial_q,

@@ -24,6 +24,79 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PERMS = int(os.environ.get("SPARK_GRAFT_BENCH_PERMS", "999"))
+# per-query repeats; the reported time is the median (the suite runs on
+# a shared VM where a single cold run can be 2-4x steady state)
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _pids(sc) -> set:
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _free_since(sc, before: set, keep: set | frozenset = frozenset()) -> None:
+    """Unpersist every RDD persisted since ``before`` (checkpoint blocks
+    from repeated builds otherwise accumulate and degrade later jobs)."""
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in set(jmap.keySet().toArray()) - before - set(keep):
+        jr = jmap.get(rid)
+        if jr is not None:
+            jr.unpersist()
+
+
+def _warmup(spark, sf_dir: str) -> None:
+    """Run every timed plan shape once on tiny inputs: compiles the
+    whole-stage-codegen units (the 30-sum simhash lane aggregate alone
+    costs seconds on first compile), launches Python/Arrow workers, and warms
+    the JIT — so the timed section measures steady state, not JVM
+    startup.  All blocks the warm-up creates are freed afterwards."""
+    from pyspark.sql import functions as F
+
+    from esda_spark.operators.global_stats import geary, getis_g, moran
+    from esda_spark.operators.local_stats import g_local, moran_local
+    from esda_spark.operators.similarity import cosine_topk, lsh_topk
+    from esda_spark.operators.spatial_join import point_in_polygon
+    from esda_spark.operators.text import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash_signatures,
+    )
+    from esda_spark.operators.weights import knn_edges
+    from esda_spark.sources.points import points_from_table
+    from esda_spark.sources.polygons import rotated_tiling
+
+    sc = spark.sparkContext
+    before = _pids(sc)
+    pts = points_from_table(spark, sf_dir, "customer").limit(2000).cache()
+    pts.count()
+    e = knn_edges(pts, k=8).cache()
+    e.count()
+    moran(pts, e, "y_cont", "r")
+    geary(pts, e, "y_cont", "r")
+    getis_g(pts, e, "y_cont")
+    moran_local(pts, e, "y_cont", permutations=19, seed=1).agg(
+        F.sum("p_sim")
+    ).collect()
+    g_local(pts, e, "y_cont", star=True, transform="R", permutations=19,
+            seed=1).agg(F.sum("p_sim")).collect()
+    polys = rotated_tiling(spark, 12, (-180.0, -90.0, 180.0, 90.0),
+                           theta=0.3)
+    point_in_polygon(pts, polys, 25.0).count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(300).cache()
+    docs.count()
+    sigs = minhash_signatures(docs, num_hashes=16).cache()
+    sigs.count()
+    lsh_candidate_pairs(sigs, 16, 4).count()
+    simhash_signatures(docs).count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(500).cache()
+    emb.count()
+    q = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    cosine_topk(emb, q, k=5).count()
+    dim = len(emb.select("embedding").first()[0])
+    lsh_topk(emb, q, dim=dim, k=5, num_planes=6, num_tables=4).count()
+    for df in (pts, e, docs, sigs, emb):
+        df.unpersist()
+    _free_since(sc, before)
+    sc._jvm.System.gc()
 
 
 def _sf_label(path: str) -> float:
@@ -49,19 +122,33 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from esda_spark.sources.points import points_from_table
     from esda_spark.sources.polygons import rotated_tiling
 
+    sc = spark.sparkContext
     times: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        times[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, fresh_blocks=False):
+        """Median of REPEATS runs.  ``fresh_blocks``: the body
+        materializes checkpoint blocks (kNN builds) — free each
+        repeat's blocks so repeats measure the build, not block-manager
+        bloat, and keep only the last repeat's output."""
+        samples, out = [], None
+        for r in range(REPEATS):
+            before = _pids(sc) if fresh_blocks else None
+            t0 = time.perf_counter()
+            out = fn()
+            samples.append(time.perf_counter() - t0)
+            if fresh_blocks and r < REPEATS - 1:
+                _free_since(sc, before)
+        times[name] = round(sorted(samples)[len(samples) // 2], 3)
         return out
 
     # --- spatial stats over customer points (n = 15k at sf0.1) ---
-    pts = points_from_table(spark, sf_dir, "customer").cache()
+    # repartition before caching: the sf parquet files are single-split,
+    # which would serialize every map stage on one task
+    pts = points_from_table(spark, sf_dir, "customer").repartition(CPUS).cache()
     n_pts = pts.count()
     edges = timed("knn_build_customer",
-                  lambda: knn_edges(pts, k=8).cache())
+                  lambda: knn_edges(pts, k=8),
+                  fresh_blocks=True).cache()
     edges.count()
 
     timed("moran_global", lambda: moran(pts, edges, "y_cont", "r"))
@@ -82,42 +169,50 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     )
 
     # --- spatial join over orders points (n = 150k at sf0.1) ---
-    big = points_from_table(spark, sf_dir, "orders").cache()
+    big = points_from_table(spark, sf_dir, "orders").repartition(CPUS).cache()
     n_big = big.count()
     polys = rotated_tiling(spark, 24, (-180.0, -90.0, 180.0, 90.0), theta=0.3)
     pip = timed(
         "pip_join_orders",
         lambda: point_in_polygon(big, polys, 25.0).count(),
     )
-    timed("knn_build_orders", lambda: knn_edges(big, k=8).count())
+    before_orders = _pids(sc)
+    timed("knn_build_orders", lambda: knn_edges(big, k=8).count(),
+          fresh_blocks=True)
+    _free_since(sc, before_orders)  # nothing downstream reads these edges
+    sc._jvm.System.gc()  # let ContextCleaner drop finished broadcasts
 
     # --- text ops over documents ---
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(CPUS).cache()
     n_docs = docs.count()
-    sigs = timed(
-        "minhash_sigs",
-        lambda: minhash_signatures(docs, num_hashes=16).cache(),
-    )
+    timed("minhash_sigs",
+          lambda: minhash_signatures(docs, num_hashes=16).count())
+    sigs = minhash_signatures(docs, num_hashes=16).cache()
     sigs.count()
     timed("lsh_pairs", lambda: lsh_candidate_pairs(sigs, 16, 4).count())
     timed("simhash", lambda: simhash_signatures(docs).count())
 
     # --- ANN over embeddings ---
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(CPUS).cache()
+    emb.count()
     q = emb.where(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    timed("ann_cosine_topk", lambda: cosine_topk(emb, q, k=10).count())
     exact = cosine_topk(emb, q, k=10).cache()
-    timed("ann_cosine_topk", lambda: exact.count())
+    exact.count()
 
     from esda_spark.operators.similarity import lsh_topk, recall_at_k
 
     dim = len(emb.select("embedding").first()[0])
     # random-gaussian embeddings are LSH's worst case (no cluster
     # structure); 6 planes x 8 tables scores ~n/8 candidates per query
+    timed("ann_lsh_topk",
+          lambda: lsh_topk(emb, q, dim=dim, k=10, num_planes=6,
+                           num_tables=8).count())
     approx = lsh_topk(emb, q, dim=dim, k=10, num_planes=6,
                       num_tables=8).cache()
-    timed("ann_lsh_topk", lambda: approx.count())
+    approx.count()
     times["_ann_lsh_recall_at_10"] = round(recall_at_k(approx, exact, 10), 4)
     exact.unpersist()
     approx.unpersist()
@@ -330,25 +425,33 @@ def main() -> None:
     from esda_spark.session import get_spark
 
     spark = get_spark("bench", parallelism=CPUS)
-    t0 = time.perf_counter()
+    t_wall = time.perf_counter()
+    _warmup(spark, SF_DIR)
     times = run_queries(spark, SF_DIR)
-    total = round(time.perf_counter() - t0, 3)
+    wall = round(time.perf_counter() - t_wall, 3)
     n_pts = times.pop("_n_points")
     times.pop("_n_orders")
     times.pop("_n_docs")
     times.pop("_pip_rows")
     lsh_recall = times.pop("_ann_lsh_recall_at_10")
-    print(json.dumps({
+    clustered_recall = times.pop("_ann_lsh_recall_clustered", None)
+    total = round(sum(v for v in times.values()), 3)
+    out = {
         "metric": "esda_spark headline suite (LISA+global stats, spatial "
-                  "joins, dedup, ANN)",
+                  "joins, dedup, ANN); per-query median of "
+                  f"{REPEATS} warmed runs, value = sum of medians",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": _sf_label(SF_DIR),
+        "wall_sec_incl_warmup_and_repeats": wall,
         "lisa_docs_per_sec": round(n_pts / times["lisa_crand"], 1),
         "ann_lsh_recall_at_10": lsh_recall,
         "permutations": PERMS,
-    }))
+    }
+    if clustered_recall is not None:
+        out["ann_lsh_recall_at_10_clustered"] = clustered_recall
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -146,6 +146,9 @@ def lowess_correlogram(
 
     out = []
     for x0 in xvals:
+        if n_window == 0:  # no pairs within d_max (sparse data / far xvals)
+            out.append({"support": x0, "lowess": float("nan")})
+            continue
         dd = pairs.withColumn("ad", F.abs(F.col("d") - F.lit(x0)))
         q = min(max(k / max(n_window, 1), 1e-6), 1.0)
         h0 = dd.approxQuantile("ad", [q], 0.001)[0] or 1e-12
@@ -160,6 +163,9 @@ def lowess_correlogram(
             F.sum(F.col("w") * F.col("zz")).alias("swy"),
             F.sum(F.col("w") * F.col("d") * F.col("zz")).alias("swdy"),
         ).collect()[0]
+        if row.sw is None:  # every pair outside the tricube window
+            out.append({"support": x0, "lowess": float("nan")})
+            continue
         sw, swd, swd2 = float(row.sw), float(row.swd), float(row.swd2)
         swy, swdy = float(row.swy), float(row.swdy)
         det = sw * swd2 - swd * swd

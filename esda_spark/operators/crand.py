@@ -38,6 +38,7 @@ are pinned and outputs deterministic across runs and partitionings.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -52,6 +53,14 @@ from esda_spark.operators.significance import permutation_significance
 # what makes the kernel scale with cores instead of RAM bandwidth.
 _CHUNK_ELEMS = 8_000_000
 _REP_BLOCK = 2048
+
+# mode="auto" switchover: below this many sites the broadcast path's
+# driver collect is cheap and preserves exact reference draw semantics;
+# at/above it the tiled path wins (4x at 1e6 sites, no O(n) driver
+# state).  Threshold measured on local[32] — see PLANS.md.
+_AUTO_TILED_ROWS = int(
+    os.environ.get("ESDA_SPARK_CRAND_TILED_ROWS", "500000")
+)
 
 
 # --- stat kernels -----------------------------------------------------------
@@ -188,7 +197,7 @@ def conditional_randomization(
     alternative: str = "directed",
     keep: bool = False,
     moments: bool = False,
-    mode: str = "broadcast",
+    mode: str = "auto",
     tiles: int = 64,
 ) -> DataFrame:
     """Per-site pseudo p-values under conditional permutation.
@@ -206,9 +215,19 @@ def conditional_randomization(
               value pool.  Tiles are uniform random samples of the
               global value distribution, so the conditional null is
               statistically equivalent; nothing n-sized ever reaches
-              the driver or a broadcast).
+              the driver or a broadcast).  "auto" (default) counts the
+              sites and picks: broadcast below ``_AUTO_TILED_ROWS``
+              (driver collect + broadcast is cheaper there, and the
+              reference's exact-draw semantics are preserved where
+              users test against the reference), tiled at or above it
+              (measured 4x faster at 1e6 sites and removes the
+              engine's last driver-side O(n) collect on a flagship
+              path).
     Returns (id, p_sim [, moment cols] [, sims array<double>]).
     """
+    if mode == "auto":
+        n_sites = values.count()
+        mode = "tiled" if n_sites >= _AUTO_TILED_ROWS else "broadcast"
     if mode == "tiled":
         return _crand_tiled(
             values, edges, observed, stat_func, permutations, seed,

@@ -350,8 +350,17 @@ def path_silhouette(
     )
     # localCheckpoint both materializes the iterative CC result and cuts
     # the shared lineage (nodes and e_comp both join against comp, which
-    # otherwise trips Spark's ambiguous-self-join analysis)
-    comp = _connected_components(e).localCheckpoint(eager=True)
+    # otherwise trips Spark's ambiguous-self-join analysis).  Isolated
+    # points (no edges) never appear in the edge-derived node set, so
+    # left-join every labeled id and coalesce to a singleton component —
+    # the reference emits a row for every observation (size-1 components
+    # fail the 2 < L < n-1 gate: psil=0, nbfc=nan, score=inf).
+    comp = (
+        lab.select("id")
+        .join(_connected_components(e), "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+        .localCheckpoint(eager=True)
+    )
     n_components = comp.select("comp").distinct().count()
     nodes = comp.join(lab, "id").select("comp", "id", "label")
     # alias comp's columns to fresh exprIds: nodes and e_comp both read

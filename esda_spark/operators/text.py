@@ -173,21 +173,36 @@ def simhash_signatures(
     """(doc_id, simhash): 60-bit SimHash over token h60 hashes.
 
     One aggregate, SIMD-in-a-register: per token, bit b's one-count
-    packs into a 16-bit lane (4 lanes per 64-bit sum, 15 sums + a token
-    count for 60 bits), so per-doc state is 16 longs with map-side
-    partial aggregation and lanes can't overflow below 65,536 tokens
-    per document.  The majority vote is exact integer math: the +/-1
-    vote sum s_b = 2*c_b - T, so s_b > 0 iff 2*c_b > T.  Shuffle input
-    is #docs rows of 16 longs; the original form exploded tokens x
-    bits (a 60x row inflation before the aggregate) and is retained
-    only as the SQL oracle rendering — values are bit-identical (th is
-    a nonnegative 60-bit hash, so div/mod by 2^b equals shift/mask).
+    packs into a 32-bit lane (2 lanes per 64-bit sum, 30 sums + a token
+    count for 60 bits), so per-doc state is 31 longs with map-side
+    partial aggregation.  32-bit lanes bound overflow at 2^32 tokens
+    per document — unreachable — where the earlier 16-bit packing
+    silently corrupted signatures of >= 65,536-token docs (books,
+    concatenated pages); per-token cost is identical (the same 60 bit
+    extractions, spread over 30 sums instead of 15).  The majority
+    vote is exact integer math: the +/-1 vote sum s_b = 2*c_b - T, so
+    s_b > 0 iff 2*c_b > T.  Shuffle input is #docs rows of 31 longs;
+    the original form exploded tokens x bits (a 60x row inflation
+    before the aggregate) and is retained only as the SQL oracle
+    rendering — values are bit-identical (th is a nonnegative 60-bit
+    hash, so div/mod by 2^b equals shift/mask).
     """
-    lanes_per_word = 4  # 16-bit lanes
-    n_words = (bits + lanes_per_word - 1) // lanes_per_word
-    toks = docs.select(
+    base = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(tokens_col(F.col(text_col))).alias("tok"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    )
+    return _simhash_lanes(base, bits, lane_bits=32)
+
+
+def _simhash_lanes(base: DataFrame, bits: int, lane_bits: int) -> DataFrame:
+    """SimHash majority vote with per-bit one-counts packed into
+    ``lane_bits``-wide lanes of 64-bit sums (``64 // lane_bits`` lanes
+    per word).  Caller guarantees every doc has < 2**lane_bits tokens."""
+    lanes_per_word = 64 // lane_bits
+    n_words = (bits + lanes_per_word - 1) // lanes_per_word
+    lane_mask = (1 << lane_bits) - 1
+    toks = base.select(
+        "doc_id", F.explode("_toks").alias("tok")
     ).withColumn("th", h60(F.col("tok")))
     aggs = [F.count("*").alias("_t")]
     for wi in range(n_words):
@@ -197,13 +212,14 @@ def simhash_signatures(
             if b >= bits:
                 break
             t = F.shiftleft(
-                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)), 16 * li
+                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)),
+                lane_bits * li,
             )
             lane_sum = t if lane_sum is None else lane_sum + t
         aggs.append(F.sum(lane_sum).alias(f"_w{wi}"))
     votes = toks.groupBy("doc_id").agg(*aggs)
-    # two shallow projections (4-term word contributions, then a
-    # 15-term sum) — a single left-deep 60-term chain is depth-60 and
+    # two shallow projections (per-word lane contributions, then a
+    # word sum) — a single left-deep 60-term chain is depth-60 and
     # falls out of codegen into slow interpreted evaluation
     word_cols = []
     for wi in range(n_words):
@@ -212,8 +228,8 @@ def simhash_signatures(
             b = wi * lanes_per_word + li
             if b >= bits:
                 break
-            c_b = F.shiftright(F.col(f"_w{wi}"), 16 * li).bitwiseAND(
-                F.lit(0xFFFF)
+            c_b = F.shiftright(F.col(f"_w{wi}"), lane_bits * li).bitwiseAND(
+                F.lit(lane_mask)
             )
             t = (
                 F.when(2 * c_b > F.col("_t"), F.lit(1 << b).cast("long"))

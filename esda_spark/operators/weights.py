@@ -87,6 +87,11 @@ def knn_edges(
     exact; only candidate generation adapts.
     """
     base = points.select("id", "x", "y")
+    # snapshot persistent-RDD ids before any materialization this build
+    # creates, so every intermediate block (quadtree labels, per-round
+    # checkpoints) can be freed deterministically at the end
+    _sc = points.sparkSession.sparkContext
+    pids_before = set(_sc._jsc.getPersistentRDDs().keySet().toArray())
     if cell_size is None:
         cell_size = _estimate_cell_size(points, k)
     if density_threshold is None:
@@ -109,12 +114,15 @@ def knn_edges(
     counts0 = (
         base.withColumn("_c", cell_key(F.col("x"), F.col("y"), cell_size))
         .groupBy("_c").count()
+        .cache()  # #cells rows; reused by the hot-cell broadcast below
     )
     max0 = counts0.agg(F.max("count")).collect()[0][0] or 0
     if int(max0) <= density_threshold:
         levels: list[tuple[int, DataFrame]] = [(0, base)]
-        return _knn_rounds_multi(levels, base, k, cell_size, binary,
-                                 max_rounds)
+        out = _knn_rounds_multi(levels, base, k, cell_size, binary,
+                                max_rounds, pids_before)
+        counts0.unpersist()
+        return out
 
     hot0 = F.broadcast(
         counts0.where(F.col("count") > density_threshold).select("_c")
@@ -181,7 +189,10 @@ def knn_edges(
         (lv, labeled.where(F.col("lvl") == lv).select("id", "x", "y"))
         for lv in lvl_values
     ]
-    return _knn_rounds_multi(levels, base, k, cell_size, binary, max_rounds)
+    out = _knn_rounds_multi(levels, base, k, cell_size, binary, max_rounds,
+                            pids_before)
+    counts0.unpersist()
+    return out
 
 
 def _knn_rounds_multi(
@@ -191,6 +202,7 @@ def _knn_rounds_multi(
     cell_size: float,
     binary: bool,
     max_rounds: int,
+    pids_before: set | None = None,
 ) -> DataFrame:
     """Doubling-ring settlement with ALL density levels in one loop:
     focals carry their level, targets are indexed once per active level,
@@ -224,10 +236,19 @@ def _knn_rounds_multi(
         pts = f if pts is None else pts.unionByName(f)
         targets = t if targets is None else targets.unionByName(t)
 
+    sc = all_points.sparkSession.sparkContext
+
+    def _pids() -> set:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    if pids_before is None:
+        pids_before = _pids()
     guard_size = F.lit(cell_size) / F.pow(F.lit(2.0), F.col("lvl"))
-    unsettled = pts
+    # materialize the focal union once: every round's candidate join and
+    # the remaining-focal anti-join read these blocks instead of
+    # recomputing the per-level cell assignment from the source
+    unsettled = pts.localCheckpoint(eager=True)
     results: list[DataFrame] = []
-    intermediates: list[DataFrame] = []
     min_rad = 2
     for _ in range(max_rounds):
         world_covered = min_rad * min(sizes.values()) > 400.0
@@ -269,40 +290,43 @@ def _knn_rounds_multi(
                 ),
             )
         ).localCheckpoint(eager=True)
-        intermediates.append(topk)
         edges = topk.where(F.col("_settled")).select(
             F.col("id").alias("focal"),
             "neighbor",
             (F.lit(1.0) if binary else (F.lit(1.0) / F.sqrt("d2"))).alias("weight"),
         )
         results.append(edges)
-        remaining_ids = (
-            topk.where(~F.col("_settled")).select("id").distinct()
-            .unionByName(
-                unsettled.select("id").join(
-                    topk.select("id").distinct(), "id", "left_anti"
-                )
-            )
-        )
-        n_remaining = remaining_ids.count()
-        if world_covered or n_remaining == 0:
+        if world_covered:
             break
-        unsettled = unsettled.join(
-            remaining_ids.distinct(), "id", "left_semi"
-        ).withColumn("rad", F.col("rad") * 2).localCheckpoint(eager=True)
-        intermediates.append(unsettled)
+        # unsettled focals = those entering this round minus those that
+        # settled — both sides read checkpointed blocks, so this costs a
+        # small anti-join, not a recompute of the candidate pipeline
+        unsettled = (
+            unsettled.join(
+                topk.where(F.col("_settled")).select("id").distinct(),
+                "id", "left_anti",
+            )
+            .withColumn("rad", F.col("rad") * 2)
+            .localCheckpoint(eager=True)
+        )
+        if unsettled.count() == 0:
+            break
         min_rad *= 2
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    # materialize the result so per-round checkpoint blocks can be freed
-    # (they otherwise accumulate across builds in one session)
+    # materialize the result, then free every intermediate checkpoint /
+    # cache block this build created (they otherwise accumulate across
+    # builds in one session and degrade later jobs): diff the persistent
+    # RDD ids around the build and keep only the output's own blocks
+    pids_mid = _pids()
     out = out.localCheckpoint(eager=True)
-    for df in intermediates:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
+    keep = _pids() - pids_mid
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in (pids_mid - pids_before) - keep:
+        jr = jmap.get(rid)
+        if jr is not None:
+            jr.unpersist()
     return out
 
 

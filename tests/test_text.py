@@ -109,3 +109,35 @@ def test_text_ops_on_testdata(docs):
     qs = tx.quality_score(docs)
     assert qs.count() == n
     assert tx.token_counts(docs).where(F.col("ws_tokens") <= 0).count() == 0
+
+
+def _py_h60(s: str) -> int:
+    import hashlib
+
+    d = hashlib.md5(s.encode()).hexdigest()
+    rev = "".join(d[30 - 2 * i : 32 - 2 * i] for i in range(8))
+    return int(rev[:15], 16)
+
+
+def test_simhash_long_doc_wide_lane(spark):
+    # >= 65,536 tokens overflows a 16-bit lane; the wide (32-bit) route
+    # must still produce the exact majority-vote signature.  66,100
+    # copies of one token dominate every bit, so the signature equals
+    # that token's own 60-bit hash.
+    long_text = " ".join(["aaa"] * 66_000 + [f"filler{i}" for i in range(100)])
+    short_text = " ".join(f"tok{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(0, long_text), (1, short_text)], "doc_id long, text string"
+    )
+    sig = {r.doc_id: r.simhash for r in tx.simhash_signatures(df).collect()}
+    assert len(sig) == 2
+    assert sig[0] == _py_h60("aaa")
+    # and the narrow/wide lane variants agree on any sub-threshold doc
+    from esda_spark.operators.text import _simhash_lanes, tokens_col
+
+    base = df.select(
+        "doc_id", tokens_col(F.col("text")).alias("_toks")
+    ).where(F.col("doc_id") == 1)
+    narrow = _simhash_lanes(base, 60, 16).collect()[0].simhash
+    wide = _simhash_lanes(base, 60, 32).collect()[0].simhash
+    assert narrow == wide == sig[1]
