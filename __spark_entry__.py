@@ -403,12 +403,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ]
         return _round(shape_stats(polys).select("poly_id", *cols), cols)
 
+    def moi_regions_q(spark, sf):
+        from esda_spark.operators.shape import moment_of_inertia_regions
+
+        base = spark.range(36).select(
+            F.col("id").alias("poly_id"),
+            (F.col("id") % 4).alias("region"),
+            (F.col("id") + 1).cast("double").alias("w"),
+            ((F.col("id") % 6) * 20).cast("double").alias("x0"),
+            ((F.col("id") / 6).cast("long") * 20).cast("double").alias("y0"),
+        )
+        polys = base.select(
+            "poly_id", "region", "w",
+            F.array(F.col("x0"), F.col("x0") + 15.0, F.col("x0") + 15.0,
+                    F.col("x0")).alias("xs"),
+            F.array(F.col("y0"), F.col("y0"), F.col("y0") + 15.0,
+                    F.col("y0") + 15.0).alias("ys"),
+        )
+        out = moment_of_inertia_regions(polys, "region", "w")
+        nrm = moment_of_inertia_regions(
+            polys, "region", "w", normalize=True
+        ).withColumnRenamed("J", "J_norm")
+        return _round(out.join(nrm, "region"), ["J", "J_norm"], 4)
+
     def correlogram_moran(spark, sf):
         from esda_spark.operators.correlogram import correlogram
 
         res = correlogram(
             _points(spark, sf), "y_cont", [15.0, 30.0], "moran",
             cell_size=15.0,
+        )
+        rows = [
+            (float(r["support"]), round(float(r["I"]), ND)) for r in res
+        ]
+        return spark.createDataFrame(rows, "support double, I double")
+
+    def correlogram_knn_q(spark, sf):
+        from esda_spark.operators.correlogram import correlogram
+
+        res = correlogram(
+            _points(spark, sf), "y_cont", [5, 9], "moran",
+            distance_type="knn",
         )
         rows = [
             (float(r["support"]), round(float(r["I"]), ND)) for r in res
@@ -844,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": quality_q,
         "token_counts": token_counts_q,
         "fingerprint": fingerprint_q,
+        "moi_regions": moi_regions_q,
+        "correlogram_knn": correlogram_knn_q,
         # non-oracle (seeded permutation / ANN / iterative) — rows-only
         "lisa_full": lisa_full,
         "path_silhouette": path_silhouette_q,
@@ -1765,6 +1802,31 @@ SELECT CAST(i AS BIGINT) AS poly_id,
 FROM (SELECT unnest(range(36)) AS i)
 """
 
+    # 6x6 lattice of 15x15 squares, region = i % 4, mass = i + 1:
+    # per-square a = 225, centroid-polar moment jc = 15^4/6 = 8437.5;
+    # region J = sum((m/a)*jc) + sum(m*|c|^2) - |sum(m*c)|^2 / M
+    # (parallel-axis about the mass centroid), C_NMMI = M*A/(2*pi*J)
+    sql["moi_regions"] = f"""
+WITH g AS (
+  SELECT i % 4 AS region, CAST(i + 1 AS DOUBLE) AS m,
+         CAST((i % 6) * 20 AS DOUBLE) + 7.5 AS cx,
+         CAST((i // 6) * 20 AS DOUBLE) + 7.5 AS cy,
+         225.0 AS a, 8437.5 AS jc
+  FROM (SELECT unnest(range(36)) AS i)
+), agg AS (
+  SELECT region, sum(a) AS A, sum(m) AS M,
+         sum(m * cx) AS sx, sum(m * cy) AS sy,
+         sum(m * (cx * cx + cy * cy)) AS s2,
+         sum(m / a * jc) AS jw
+  FROM g GROUP BY region
+)
+SELECT region,
+       round(jw + s2 - (sx * sx + sy * sy) / M, 4) AS J,
+       round(M * A / (2 * pi() * (jw + s2 - (sx * sx + sy * sy) / M)), 4)
+         AS J_norm
+FROM agg
+"""
+
     def _moran_band_sql(support: float) -> str:
         return f"""
   SELECT CAST({support} AS DOUBLE) AS support,
@@ -1804,6 +1866,28 @@ FROM (SELECT unnest(range(36)) AS i)
 {_moran_band_sql(15.0)}
 UNION ALL
 {_moran_band_sql(30.0)}
+"""
+
+    # KNN-supports correlogram: exact kNN(k) is rank <= k over the
+    # all-pairs distances, tie-broken by neighbor id — the engine's
+    # kNN builder uses the identical (d2, neighbor) settlement order;
+    # each focal has exactly k neighbors so row-standardized w = 1/k
+    sql["correlogram_knn"] = f"WITH {_pts_cte()}" + f"""
+, pairs AS (
+  SELECT a.id AS focal, b.id AS neighbor,
+         (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) AS d2
+  FROM pts a JOIN pts b ON a.id <> b.id
+)
+, knn AS (
+  SELECT focal, neighbor,
+         row_number() OVER (PARTITION BY focal ORDER BY d2, neighbor) AS rn
+  FROM pairs
+)
+, w5 AS (SELECT focal, neighbor, 1.0 / 5 AS weight FROM knn WHERE rn <= 5)
+, w9 AS (SELECT focal, neighbor, 1.0 / 9 AS weight FROM knn WHERE rn <= 9)
+{_moran_band_sql(5.0)}
+UNION ALL
+{_moran_band_sql(9.0)}
 """
 
     # ---- oracle entries beyond the driver's 50-query window: these are

@@ -28,8 +28,23 @@ def correlogram(
     statistic: str = "moran",
     transformation: str = "r",
     cell_size: float | None = None,
+    distance_type: str = "band",
 ) -> list[dict]:
-    """One result dict per support (ascending), each tagged 'support'."""
+    """One result dict per support (ascending), each tagged 'support'.
+
+    ``distance_type='band'``: supports are distance thresholds
+    (libpysal ``DistanceBand``, binary).  ``'knn'``: supports are
+    neighbor counts k (libpysal ``KNN``, binary directed graph,
+    reference ``correlogram.py:164-175``) — ONE exact kNN build at
+    max(k) (quadtree skew handling included) is ranked per focal and
+    each k filters ``rank <= k``; the reference rebuilds a KNN weights
+    object per support.
+    """
+    if distance_type == "knn":
+        return _correlogram_knn(points, value_col, supports, statistic,
+                                transformation)
+    if distance_type != "band":
+        raise ValueError("distance_type must be 'band' or 'knn'")
     supports = sorted(float(s) for s in supports)
     d_max = supports[-1]
     if cell_size is None:
@@ -69,6 +84,47 @@ def correlogram(
         res["support"] = s
         out.append(res)
     cand.unpersist()
+    return out
+
+
+def _correlogram_knn(
+    points: DataFrame,
+    value_col: str,
+    supports: list[float],
+    statistic: str,
+    transformation: str,
+) -> list[dict]:
+    """KNN-supports correlogram: one exact kNN(max k) build; neighbors
+    ranked per focal by (distance, neighbor id) — the same tie-break
+    the kNN builder settles with — so each smaller k is a filter, not
+    a rebuild."""
+    from pyspark.sql import Window
+
+    from esda_spark.operators.weights import knn_edges
+
+    ks = sorted(int(s) for s in supports)
+    # binary=False keeps weight = 1/sqrt(d2): descending weight + id
+    # reproduces the builder's (d2, neighbor) ascending order exactly
+    cand = knn_edges(points, k=ks[-1], binary=False)
+    win = Window.partitionBy("focal").orderBy(
+        F.col("weight").desc(), F.col("neighbor")
+    )
+    ranked = cand.withColumn("rk", F.row_number().over(win)).cache()
+    ranked.count()
+
+    stat_fn = _STATS[statistic]
+    out = []
+    for k in ks:
+        edges = ranked.where(F.col("rk") <= k).select(
+            "focal", "neighbor", F.lit(1.0).alias("weight")
+        )
+        kwargs = {} if statistic == "getis_g" else {
+            "transformation": transformation
+        }
+        res = stat_fn(points, edges, value_col, **kwargs)
+        res["support"] = k
+        out.append(res)
+    ranked.unpersist()
     return out
 
 

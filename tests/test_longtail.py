@@ -290,3 +290,103 @@ def test_lowess_correlogram(spark):
     beta = np.linalg.solve(A.T @ W @ A, A.T @ W @ zz[m])
     want = beta[0] + beta[1] * 3.0
     assert vals[3.0] == pytest.approx(want, rel=0.05)
+
+
+def test_moment_of_inertia_regions(spark):
+    from esda_spark.operators.shape import (
+        moment_of_inertia_global,
+        moment_of_inertia_regions,
+        ring_moments,
+    )
+
+    # two regions of rectangles (region 0: two 1x1 squares apart;
+    # region 1: a 3x2 and a 1x4 rectangle), population weights
+    def rect(x0, y0, w, h):
+        return ([float(v) for v in (x0, x0 + w, x0 + w, x0)],
+                [float(v) for v in (y0, y0, y0 + h, y0 + h)])
+
+    geoms = [rect(0, 0, 1, 1), rect(4, 0, 1, 1),
+             rect(0, 5, 3, 2), rect(6, 5, 1, 4)]
+    regions = [0, 0, 1, 1]
+    weights = [10.0, 30.0, 5.0, 7.0]
+    rows = [(i, regions[i], weights[i], geoms[i][0], geoms[i][1])
+            for i in range(4)]
+    df = spark.createDataFrame(
+        rows,
+        "poly_id long, region long, w double, "
+        "xs array<double>, ys array<double>",
+    )
+
+    def ref_oracle(normalize=False, use_w=True, ref=None):
+        # reference shape.py:886-944 loop, verbatim math in numpy
+        import numpy as np
+        out = {}
+        for reg in (0, 1):
+            idx = [i for i in range(4) if regions[i] == reg]
+            a = []; c = []; jc = []
+            for i in idx:
+                xs = np.array(geoms[i][0]); ys = np.array(geoms[i][1])
+                A_, cx, cy, ixx0, iyy0 = ring_moments(xs, ys)
+                if A_ < 0:
+                    A_, ixx0, iyy0 = -A_, -ixx0, -iyy0
+                a.append(A_); c.append([cx, cy])
+                jc.append((ixx0 - A_ * cy * cy) + (iyy0 - A_ * cx * cx))
+            a = np.array(a); c = np.array(c); jc = np.array(jc)
+            m = np.array([weights[i] for i in idx]) if use_w else a
+            A = a.sum()
+            pt = np.asarray(ref) if ref is not None else (
+                (m[:, None] * c).sum(0) / m.sum())
+            d2 = ((c - pt) ** 2).sum(1)
+            J = ((m / a) * jc + m * d2).sum()
+            if normalize:
+                J = m.sum() * A / (2 * math.pi * J)
+            out[reg] = J
+        return out
+
+    for normalize in (False, True):
+        got = {r.region: r.J for r in moment_of_inertia_regions(
+            df, "region", "w", normalize=normalize).collect()}
+        want = ref_oracle(normalize)
+        for reg in (0, 1):
+            assert got[reg] == pytest.approx(want[reg]), (normalize, reg)
+
+    # unweighted == per-region second moment of area (global kernel)
+    got_u = {r.region: r.J for r in
+             moment_of_inertia_regions(df, "region").collect()}
+    for reg in (0, 1):
+        sub = df.where(df.region == reg)
+        assert got_u[reg] == pytest.approx(moment_of_inertia_global(sub))
+
+    # global reference point (tuple) and per-region ref frame
+    got_r = {r.region: r.J for r in moment_of_inertia_regions(
+        df, "region", "w", ref_pts=(1.0, 2.0)).collect()}
+    want_r = ref_oracle(ref=(1.0, 2.0))
+    for reg in (0, 1):
+        assert got_r[reg] == pytest.approx(want_r[reg])
+    refs = spark.createDataFrame(
+        [(0, 1.0, 2.0), (1, 1.0, 2.0)], "region long, rx double, ry double")
+    got_rf = {r.region: r.J for r in moment_of_inertia_regions(
+        df, "region", "w", ref_pts=refs).collect()}
+    for reg in (0, 1):
+        assert got_rf[reg] == pytest.approx(want_r[reg])
+
+
+def test_correlogram_knn_supports(spark):
+    from esda_spark.operators.correlogram import correlogram
+
+    rng = np.random.default_rng(11)
+    n = 90
+    xy = rng.uniform(0, 50, size=(n, 2))
+    y = xy[:, 1] + rng.normal(0, 5, n)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(yy), float(v))
+         for i, ((x, yy), v) in enumerate(zip(xy, y))],
+        "id long, x double, y double, y_cont double",
+    )
+    res = correlogram(pts, "y_cont", [3, 8], "moran", distance_type="knn")
+    assert [r["support"] for r in res] == [3, 8]
+    for k, r in zip((3, 8), res):
+        edges_np = onp.brute_knn_edges(xy, k)
+        w = onp.row_standardize(edges_np, np.ones(len(edges_np)))
+        want = onp.moran(y, edges_np, w)
+        assert r["I"] == pytest.approx(want["I"], rel=1e-10), k
