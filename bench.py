@@ -206,7 +206,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     dim = len(emb.select("embedding").first()[0])
     # random-gaussian embeddings are LSH's worst case (no cluster
-    # structure); 6 planes x 8 tables scores ~n/8 candidates per query
+    # structure); 6 planes x 8 tables + Hamming-1 multiprobe
     timed("ann_lsh_topk",
           lambda: lsh_topk(emb, q, dim=dim, k=10, num_planes=6,
                            num_tables=8).count())
@@ -216,6 +216,32 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     times["_ann_lsh_recall_at_10"] = round(recall_at_k(approx, exact, 10), 4)
     exact.unpersist()
     approx.unpersist()
+
+    # clustered embeddings (the retrieval regime LSH is built for):
+    # planted near-neighbors, planes sized for ~25-vector buckets —
+    # candidate volume ~ tables*(1+planes)/2^planes of the corpus
+    from esda_spark.sources.embeddings import synthetic_embeddings
+
+    cemb = synthetic_embeddings(
+        spark, 20_000, dim=64, clusters=200, noise=0.35
+    ).repartition(CPUS).cache()
+    cemb.count()
+    cq = cemb.where(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cexact = cosine_topk(cemb, cq, k=10).cache()
+    cexact.count()
+    timed("ann_lsh_topk_clustered",
+          lambda: lsh_topk(cemb, cq, dim=64, k=10, num_planes=10,
+                           num_tables=8).count())
+    capprox = lsh_topk(cemb, cq, dim=64, k=10, num_planes=10,
+                       num_tables=8).cache()
+    capprox.count()
+    times["_ann_lsh_recall_clustered"] = round(
+        recall_at_k(capprox, cexact, 10), 4
+    )
+    for df in (cexact, capprox, cemb):
+        df.unpersist()
 
     times["_n_points"] = n_pts
     times["_n_orders"] = n_big

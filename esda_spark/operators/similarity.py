@@ -187,10 +187,24 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     num_tables: int = 4,
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing a (table,
     bucket) with the query in at least one of ``num_tables``
-    independent hash tables (OR-amplified hyperplane LSH)."""
+    independent hash tables (OR-amplified hyperplane LSH).
+
+    ``multiprobe=1`` additionally probes every Hamming-distance-1
+    bucket of each query signature (flip one plane's sign bit): a
+    near-neighbor lost to one marginal hyperplane is recovered without
+    growing the corpus index at all — only the tiny broadcast query
+    side fans out (x ``1 + num_planes`` probe rows per table).  This
+    is the standard multi-probe LSH trade (Lv et al., VLDB 2007):
+    candidate volume grows ~(1 + planes * p_neighbor_flip) while
+    recall compounds across probes AND tables.  ``multiprobe=0``
+    restores exact-bucket probing.
+    """
+    if multiprobe not in (0, 1):
+        raise ValueError("multiprobe must be 0 or 1 (Hamming probe radius)")
     corpus_sig = hyperplane_signatures(
         embeddings, dim, num_planes, seed, id_col, vec_col, num_tables
     )
@@ -199,6 +213,15 @@ def lsh_topk(
                        F.col(vec_col)),
         dim, num_planes, seed, "vec_id", vec_col, num_tables,
     ).withColumnRenamed("vec_id", "query_id")
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j))
+              for j in range(num_planes)],
+        )
+        query_sig = query_sig.select(
+            "query_id", "table", F.explode(probes).alias("bucket")
+        )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).join(query_sig, "query_id")
