@@ -115,73 +115,108 @@ def adbscan(
 
     Points whose winning label wins less than ``pct_thr`` of draws are
     set to noise, mirroring the reference's `pct_thr` gate.
+
+    All ``reps`` draws execute as ONE fused job chain, not a serial
+    Python loop of per-draw jobs: draw r is encoded as the spatial
+    translation x -> x + r*offset (offset > domain span + ring reach,
+    so no distance band or 1-NN edge can cross draws) with composite
+    ids r*id_base + id.  One dbscan call then label-propagates every
+    draw simultaneously (iterations = max over draws instead of sum),
+    one knn_join extends every draw's labels, and the per-draw
+    centroid collects collapse into one groupBy.  The encoding is
+    exact: min-composite-id per component decodes to min-id within the
+    draw, and 1-NN tie-break order on composite ids equals id order.
     """
     spark = points.sparkSession
-    draws: list[DataFrame] = []
-    for r in range(reps):
-        thin = points.where(
-            F.pmod(F.xxhash64("id", F.lit(r), F.lit(seed)), 1000)
+    agg = points.agg(
+        F.max("id").alias("mi"), F.min("x").alias("x0"),
+        F.max("x").alias("x1"),
+    ).collect()[0]
+    id_base = int(agg.mi) + 1
+    cs = cell_size or eps
+    offset = float(agg.x1 - agg.x0) + 64.0 * max(eps, cs) + 1.0
+    ms = max(int(np.floor(min_samples * pct_exact)), 1)
+
+    rep_seq = F.explode(
+        F.sequence(F.lit(0), F.lit(reps - 1))
+    ).alias("_r")
+    base_pts = points.select("id", "x", "y")
+    # every draw's thinned sample, rep-translated, composite-keyed
+    thin_all = (
+        base_pts.select("id", "x", "y", rep_seq)
+        .where(
+            F.pmod(F.xxhash64("id", F.col("_r"), F.lit(seed)), 1000)
             < int(pct_exact * 1000)
         )
-        ms = max(int(np.floor(min_samples * pct_exact)), 1)
-        lab = dbscan(thin, eps, ms, cell_size=cell_size).withColumnRenamed(
-            "cluster", "lbl"
+        .select(
+            (F.col("_r") * id_base + F.col("id")).alias("id"),
+            (F.col("x") + F.col("_r") * offset).alias("x"),
+            "y",
         )
-        labeled = thin.join(lab, "id").cache()
-        # 1-NN extension to every point
-        ext = knn_join(
-            points, labeled.select("id", "x", "y"), k=1,
-            cell_size=cell_size or eps,
-        ).select(
-            F.col("left_id").alias("id"), F.col("right_id").alias("src")
-        ).join(
-            lab.withColumnRenamed("id", "src"), "src"
-        ).select("id", F.col("lbl").alias(f"rep{r}"))
-        draws.append(ext)
-
-    votes = draws[0]
-    for d in draws[1:]:
-        votes = votes.join(d, "id")
-
-    # centroid-based label remap to draw 0 (driver-side tiny table)
-    cents = {}
-    base_pts = points.select("id", "x", "y")
-    for r in range(reps):
-        c = (
-            votes.select("id", f"rep{r}").join(base_pts, "id")
-            .where(F.col(f"rep{r}") != NOISE)
-            .groupBy(f"rep{r}")
-            .agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
-            .collect()
+    )
+    lab = dbscan(thin_all, eps, ms, cell_size=cell_size).withColumnRenamed(
+        "cluster", "lbl"
+    ).cache()
+    labeled = thin_all.join(lab, "id").cache()
+    # 1-NN extension of every draw's labels to every point, one join
+    all_rep = base_pts.select("id", "x", "y", rep_seq).select(
+        (F.col("_r") * id_base + F.col("id")).alias("id"),
+        (F.col("x") + F.col("_r") * offset).alias("x"),
+        "y",
+    )
+    ext = (
+        knn_join(all_rep, labeled.select("id", "x", "y"), k=1,
+                 cell_size=cs)
+        .select(F.col("left_id").alias("cid"),
+                F.col("right_id").alias("src"))
+        .join(lab.withColumnRenamed("id", "src"), "src")
+        .select(
+            (F.col("cid") % id_base).alias("id"),
+            (F.col("cid") / id_base).cast("long").alias("rep"),
+            "lbl",
         )
-        cents[r] = {row[f"rep{r}"]: (row.cx, row.cy) for row in c}
-    remap: dict[int, dict[int, int]] = {0: {k: k for k in cents[0]}}
-    base = cents[0]
+        .cache()
+    )
+
+    # centroid-based label remap to draw 0: ONE aggregate over all
+    # draws (original coordinates recovered via the id join)
+    cent_rows = (
+        ext.where(F.col("lbl") != NOISE)
+        .join(base_pts, "id")
+        .groupBy("rep", "lbl")
+        .agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+        .collect()
+    )
+    cents: dict[int, dict[int, tuple]] = {r: {} for r in range(reps)}
+    for row in cent_rows:
+        cents[row.rep][row.lbl] = (row.cx, row.cy)
+    base = cents.get(0, {})
+    remap_rows = [(0, lbl, lbl) for lbl in base]
     for r in range(1, reps):
-        m = {}
-        for lbl, (cx, cy) in cents[r].items():
+        for lbl, (cx, cy) in cents.get(r, {}).items():
             if base:
-                m[lbl] = min(
-                    base, key=lambda b: (base[b][0] - cx) ** 2 + (base[b][1] - cy) ** 2
+                dst = min(
+                    base,
+                    key=lambda b: (base[b][0] - cx) ** 2
+                    + (base[b][1] - cy) ** 2,
                 )
             else:
-                m[lbl] = lbl
-        remap[r] = m
-
-    mapped_cols = []
-    for r in range(reps):
-        col = F.col(f"rep{r}")
-        expr = F.lit(NOISE)
-        items = list(remap[r].items())
-        for src, dst in reversed(items):
-            expr = F.when(col == src, F.lit(dst)).otherwise(expr)
-        mapped_cols.append(expr.alias(f"m{r}"))
-    mapped = votes.select("id", *mapped_cols)
-    arr = F.array(*[F.col(f"m{r}") for r in range(reps)])
-    counted = mapped.select(
-        "id",
-        F.explode(arr).alias("lbl"),
-    ).groupBy("id", "lbl").count()
+                dst = lbl
+            remap_rows.append((r, lbl, dst))
+    # decode remap targets to original sample ids (draw-0 composites
+    # have r = 0, so dst % id_base == dst already; keep for clarity)
+    remap_df = spark.createDataFrame(
+        [(r, l, d % id_base) for r, l, d in remap_rows]
+        or [(0, NOISE, NOISE)],
+        "rep long, lbl long, mapped long",
+    )
+    counted = (
+        ext.join(F.broadcast(remap_df), ["rep", "lbl"], "left")
+        .select("id", F.coalesce("mapped", F.lit(NOISE)).alias("lbl"))
+        .groupBy("id", "lbl").count()
+    )
+    lab.unpersist()
+    labeled.unpersist()
     from pyspark.sql import Window
 
     win = Window.partitionBy("id").orderBy(F.desc("count"), F.asc("lbl"))
