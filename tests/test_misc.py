@@ -269,3 +269,87 @@ def test_cell_hierarchy_roundtrip(spark):
     assert chk.where(~F.col("ok_child") | ~F.col("ok_ring")).count() == 0
     # kring size
     assert chk.select(F.size(cell_kring(F.col("cell"), 2))).first()[0] == 25
+
+
+def test_lisa_pipeline_kill_and_resume(spark, tmp_path):
+    import esda_spark.operators.weights as W
+    from esda_spark.plans.checkpoint import read_manifest, stage
+    from esda_spark.plans.pipeline import lisa_pipeline
+
+    rng_rows = [(i, float(i % 13), float(i % 7), float((i * 17) % 5))
+                for i in range(80)]
+    pts = spark.createDataFrame(
+        rng_rows, "id long, x double, y double, y_cont double").cache()
+    ck = str(tmp_path / "ck")
+
+    # simulate a run killed AFTER the kNN stage completed: materialize
+    # stage 1 exactly as the pipeline would, then "crash" (no stage 2)
+    fp = "testdata-v1"
+    stage(spark, f"{ck}/edges", f"{fp}|knn k=4",
+          lambda: W.knn_edges(pts, k=4))
+    m1 = read_manifest(f"{ck}/edges")
+    assert m1 is not None and m1["rows"] > 0
+
+    # resume: the full pipeline must SKIP the finished kNN stage
+    calls = {"knn": 0}
+    orig = W.knn_edges
+
+    def counting_knn(*a, **kw):
+        calls["knn"] += 1
+        return orig(*a, **kw)
+
+    W.knn_edges = counting_knn
+    try:
+        out = lisa_pipeline(pts, "y_cont", k=4, permutations=19, seed=5,
+                            checkpoint_dir=ck, fingerprint=fp)
+        rows = {r.id: r for r in out.collect()}
+    finally:
+        W.knn_edges = orig
+    assert calls["knn"] == 0  # resumed from checkpoint, not rebuilt
+    assert len(rows) == 80
+    assert read_manifest(f"{ck}/edges")["written_at"] == m1["written_at"]
+    m2 = read_manifest(f"{ck}/lisa")
+    assert m2["rows"] == 80 and "partitions" in m2
+
+    # parity with a direct (uncheckpointed) run
+    from esda_spark.operators.local_stats import moran_local
+
+    direct = {r.id: r for r in moran_local(
+        pts, orig(pts, k=4), "y_cont", permutations=19, seed=5).collect()}
+    for i in (0, 7, 79):
+        assert rows[i].Is == pytest.approx(direct[i].Is)
+        assert rows[i].p_sim == pytest.approx(direct[i].p_sim)
+
+    # second invocation: everything resumes, zero builds
+    out2 = lisa_pipeline(pts, "y_cont", k=4, permutations=19, seed=5,
+                         checkpoint_dir=ck, fingerprint=fp)
+    assert read_manifest(f"{ck}/lisa")["written_at"] == m2["written_at"]
+    assert out2.count() == 80
+    # changing the input fingerprint invalidates downstream stages
+    out3 = lisa_pipeline(pts, "y_cont", k=4, permutations=19, seed=5,
+                         checkpoint_dir=ck, fingerprint="testdata-v2")
+    assert read_manifest(f"{ck}/edges")["fingerprint"].startswith(
+        "testdata-v2")
+    assert out3.count() == 80
+
+
+def test_dedup_pipeline_resume(spark, tmp_path):
+    from esda_spark.plans.checkpoint import read_manifest
+    from esda_spark.plans.pipeline import dedup_pipeline
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different text about spark pipelines here"),
+         (3, "another unrelated document body entirely")],
+        "doc_id long, text string")
+    ck = str(tmp_path / "dd")
+    out = dedup_pipeline(docs, num_hashes=16, bands=4,
+                         checkpoint_dir=ck, fingerprint="docs-v1")
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert pairs.get((0, 1)) == pytest.approx(1.0)
+    m = read_manifest(f"{ck}/minhash")
+    out2 = dedup_pipeline(docs, num_hashes=16, bands=4,
+                          checkpoint_dir=ck, fingerprint="docs-v1")
+    assert out2.count() == out.count()
+    assert read_manifest(f"{ck}/minhash")["written_at"] == m["written_at"]
