@@ -411,7 +411,95 @@ def scale_smoke(n: int) -> None:
     spark.stop()
 
 
+def scale_smoke_pip(n: int) -> None:
+    """Point-in-polygon join at arbitrary synthetic size: n geocoded
+    points (hot-spot skew included) against a 24x24 rotated world
+    tiling — evidence the cell-key shuffle + broadcast-refine plan
+    holds as the point side grows."""
+    from esda_spark.operators.spatial_join import point_in_polygon
+    from esda_spark.session import get_spark
+    from esda_spark.sources.points import synthetic_points
+    from esda_spark.sources.polygons import rotated_tiling
+
+    spark = get_spark("scale-smoke-pip", parallelism=CPUS,
+                      shuffle_partitions=max(2 * CPUS, 16))
+    pts = synthetic_points(spark, n).cache()
+    n_real = pts.count()
+    polys = rotated_tiling(spark, 24, (-180.0, -90.0, 180.0, 90.0),
+                           theta=0.3)
+    point_in_polygon(pts.limit(10_000), polys, 25.0).count()  # warm
+    t0 = time.perf_counter()
+    rows = point_in_polygon(pts, polys, 25.0).count()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "scale smoke (synthetic points -> PIP join vs 24x24 "
+                  "rotated tiling)",
+        "n": n_real, "matched_rows": rows,
+        "pip_sec": round(dt, 1),
+        "points_per_sec": round(n_real / dt, 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+def scale_smoke_dedup(n: int) -> None:
+    """MinHash/LSH dedup at arbitrary synthetic corpus size with 1%
+    planted near-duplicates: signatures -> banded candidate pairs ->
+    planted-pair recall.  Evidence the one-explode signature aggregate
+    and the band-bucket self-join hold as the corpus grows (candidate
+    volume stays ~pairs-sharing-a-band, never all-pairs)."""
+    from pyspark.sql import functions as F
+
+    from esda_spark.operators.text import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from esda_spark.session import get_spark
+    from esda_spark.sources.webpages import synthetic_documents
+
+    spark = get_spark("scale-smoke-dedup", parallelism=CPUS,
+                      shuffle_partitions=max(2 * CPUS, 16))
+    docs = synthetic_documents(spark, n).cache()
+    n_real = docs.count()
+    minhash_signatures(docs.limit(2_000), num_hashes=16).count()  # warm
+    t0 = time.perf_counter()
+    sigs = minhash_signatures(docs, num_hashes=16).cache()
+    sigs.count()
+    t_sig = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pairs = lsh_candidate_pairs(sigs, 16, 4).cache()
+    n_pairs = pairs.count()
+    t_pairs = time.perf_counter() - t0
+    planted = pairs.where(
+        (F.col("doc_b") == F.col("doc_a") + 1)
+        & (F.col("doc_b") % 100 == 1)
+    ).count()
+    expected = (n_real + 98) // 100 - 1  # docs with id%100==1, id>=1
+    print(json.dumps({
+        "metric": "scale smoke (synthetic docs -> MinHash16 -> LSH "
+                  "bands=4, 1% planted near-dups)",
+        "n_docs": n_real, "candidate_pairs": n_pairs,
+        "minhash_sec": round(t_sig, 1),
+        "lsh_sec": round(t_pairs, 1),
+        "docs_per_sec": round(n_real / (t_sig + t_pairs), 1),
+        "planted_found": planted, "planted_total": expected,
+        "planted_recall": round(planted / max(expected, 1), 4),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if "--scale-smoke-pip" in sys.argv:
+        i = sys.argv.index("--scale-smoke-pip")
+        scale_smoke_pip(int(sys.argv[i + 1]) if len(sys.argv) > i + 1
+                        else 1_000_000)
+        return
+    if "--scale-smoke-dedup" in sys.argv:
+        i = sys.argv.index("--scale-smoke-dedup")
+        scale_smoke_dedup(int(sys.argv[i + 1]) if len(sys.argv) > i + 1
+                          else 1_000_000)
+        return
     if "--scale-smoke" in sys.argv:
         i = sys.argv.index("--scale-smoke")
         n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 1_000_000

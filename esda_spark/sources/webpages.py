@@ -75,3 +75,43 @@ def extract_text(pages: DataFrame, html_col: str = "html") -> DataFrame:
         for f in pages.schema.fields if f.name != html_col
     ) + ", extracted_text string"
     return pages.mapInPandas(extract, schema=schema)
+
+
+def synthetic_documents(spark: SparkSession, n: int,
+                        tokens_per_doc: int = 40,
+                        vocab: int = 50_000) -> DataFrame:
+    """(doc_id, text): arbitrary-size deterministic corpus from
+    ``spark.range`` — pure column expressions, no driver data.
+
+    Every doc is ``tokens_per_doc`` pseudo-words drawn by a linear
+    hash over (doc_id, position).  Docs with ``doc_id % 100 == 1`` are
+    planted near-duplicates of ``doc_id - 1``: the same token stream
+    with ONE position perturbed, so MinHash/LSH recall is measurable
+    at any scale (expected Jaccard ~ (t-1)/(t+1))."""
+    src = F.when(F.col("id") % 100 == 1, F.col("id") - 1).otherwise(
+        F.col("id")
+    )
+    # xxhash64 mixing: a linear (id*c + j*d) % vocab scheme leaves all
+    # docs' vocabularies on one arithmetic progression, which inflates
+    # LSH candidate pairs by orders of magnitude — proper mixing keeps
+    # unrelated docs' token sets near-disjoint at vocab >> tokens
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(tokens_per_doc - 1)),
+        lambda j: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(src, j), F.lit(vocab)).cast("string"),
+        ),
+    )
+    # perturb position 0 for the planted near-dups
+    words = F.when(
+        F.col("id") % 100 == 1,
+        F.concat(
+            F.array(F.concat(F.lit("x"), (F.col("id") % vocab)
+                             .cast("string"))),
+            F.slice(words, 2, tokens_per_doc - 1),
+        ),
+    ).otherwise(words)
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+    )
