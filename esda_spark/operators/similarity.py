@@ -57,6 +57,12 @@ def cosine_topk(
     at corpus sizes where the naive crossJoin's q*n rows would not.
     ``arrow=False`` keeps the pure-Catalyst higher-order-function
     formulation (the SQL-oracle-comparable reference path).
+
+    Bound: the QUERY side is collected to the driver and broadcast
+    (q * dim * 8 bytes — ~1 GB at q=1e6, dim=128), so this operator is
+    for validation and moderate query batches.  A large-q workload
+    should go through :func:`lsh_topk` (both sides stay distributed;
+    only bucket-mates are scored).
     """
     if not arrow:
         q = F.broadcast(

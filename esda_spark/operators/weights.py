@@ -223,12 +223,14 @@ def _knn_rounds_multi(
         # initial per-row search radius: fine-level focals are
         # guaranteed to settle within ~4 fine cells (their parent dense
         # cell holds > threshold >= 4k points within 2*sqrt(2) cells);
-        # level-0 cells hold ~k points, so radius 2 (25 cells ~ 25k
-        # candidates) settles nearly all in ONE round — fewer sequential
-        # rounds is the dominant small-n cost
+        # level-0 cells hold ~k points, so the 3x3 ring (~9k candidates)
+        # settles ~99.99% of focals (k-th NN distance ~ 0.56 cell) and
+        # the doubling round that mops up the tail is an O(stragglers)
+        # job — measured at 150k points: rad=1 top-k 8.4s vs rad=2
+        # 12.3s with 2/150000 focals left for round 2
         f = with_cell(focals.select("id", "x", "y"), sizes[lvl]).withColumn(
             "lvl", F.lit(lvl)
-        ).withColumn("rad", F.lit(2 if lvl == 0 else 4))
+        ).withColumn("rad", F.lit(1 if lvl == 0 else 4))
         t = with_cell(all_points, sizes[lvl]).select(
             F.col("id").alias("neighbor"), F.col("x").alias("nx"),
             F.col("y").alias("ny"), F.col("cell"),
@@ -249,7 +251,7 @@ def _knn_rounds_multi(
     # recomputing the per-level cell assignment from the source
     unsettled = pts.localCheckpoint(eager=True)
     results: list[DataFrame] = []
-    min_rad = 2
+    min_rad = 1
     for _ in range(max_rounds):
         world_covered = min_rad * min(sizes.values()) > 400.0
         dx = F.col("x") - F.col("nx")
