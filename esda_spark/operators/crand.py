@@ -54,12 +54,15 @@ from esda_spark.operators.significance import permutation_significance
 _CHUNK_ELEMS = 8_000_000
 _REP_BLOCK = 2048
 
-# mode="auto" switchover: below this many sites the broadcast path's
-# driver collect is cheap and preserves exact reference draw semantics;
-# at/above it the tiled path wins (4x at 1e6 sites, no O(n) driver
-# state).  Threshold measured on local[32] — see PLANS.md.
+# mode="auto" switchover: below this many sites the broadcast path
+# (driver collect + broadcast of the value vector) measurably wins —
+# interleaved A/B at 1M sites: broadcast 24.7 s vs tiled 35-45 s at
+# 9999 perms on local[8], a tie at 999 perms — so the switch sits
+# where the O(n) driver collect itself becomes the wall (~160 MB of
+# doubles at 2e7 sites), not where the tiled path merely exists.
+# Override with ESDA_SPARK_CRAND_TILED_ROWS; see PLANS.md.
 _AUTO_TILED_ROWS = int(
-    os.environ.get("ESDA_SPARK_CRAND_TILED_ROWS", "500000")
+    os.environ.get("ESDA_SPARK_CRAND_TILED_ROWS", "20000000")
 )
 
 
@@ -217,12 +220,11 @@ def conditional_randomization(
               statistically equivalent; nothing n-sized ever reaches
               the driver or a broadcast).  "auto" (default) counts the
               sites and picks: broadcast below ``_AUTO_TILED_ROWS``
-              (driver collect + broadcast is cheaper there, and the
-              reference's exact-draw semantics are preserved where
-              users test against the reference), tiled at or above it
-              (measured 4x faster at 1e6 sites and removes the
-              engine's last driver-side O(n) collect on a flagship
-              path).
+              (measured faster through 1e6 sites, and the reference's
+              exact-draw semantics are preserved where users test
+              against the reference), tiled at or above it — the
+              regime where the broadcast path's O(n) driver collect
+              becomes the binding constraint.
     Returns (id, p_sim [, moment cols] [, sims array<double>]).
     """
     if mode == "auto":
