@@ -36,3 +36,31 @@ def load_table(
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, t, sf_dir) for t in TPCH_TABLES}
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive/Iceberg-style partitioned layout: one directory level per
+    partition column.  At 10^12-row scale the partition columns are
+    the pruning axes (ingest date, coarse spatial cell) — a reader
+    filtering on them never lists, opens, or scans the other
+    partitions' files (see :func:`read_pruned` and the pruning test)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_pruned(spark: SparkSession, path: str, **equals) -> DataFrame:
+    """Read a partitioned layout with equality filters on partition
+    columns expressed as keyword args (``read_pruned(s, p, day=3)``).
+    The filters land in the scan's PartitionFilters (metadata-only
+    pruning), not as a post-scan Filter — asserted in
+    tests/test_misc.py::test_partition_pruning."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for c, v in equals.items():
+        df = df.where(F.col(c) == F.lit(v))
+    return df

@@ -353,3 +353,25 @@ def test_dedup_pipeline_resume(spark, tmp_path):
                           checkpoint_dir=ck, fingerprint="docs-v1")
     assert out2.count() == out.count()
     assert read_manifest(f"{ck}/minhash")["written_at"] == m["written_at"]
+
+
+def test_partition_pruning(spark, tmp_path):
+    from esda_spark.sources.tables import read_pruned, write_partitioned
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 5).alias("day"),
+        (F.col("id") % 3).alias("cell_bucket"),
+        (F.col("id") * 2.0).alias("v"),
+    )
+    p = str(tmp_path / "events_part")
+    write_partitioned(df, p, ["day", "cell_bucket"])
+    out = read_pruned(spark, p, day=3, cell_bucket=1)
+    assert out.count() == df.where(
+        (F.col("day") == 3) & (F.col("cell_bucket") == 1)).count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the equality predicates must prune at the metadata level
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "day" in pf and "cell_bucket" in pf, pf
