@@ -806,6 +806,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank"
         )
 
+    def ann_ivf_topk(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        centers = sim.kmeans_fit(emb, k=16, max_iters=5, seed=3)
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.ivf_topk(emb, q, centers, k=10, nprobe=4).select(
+            "query_id", "vec_id", "rank"
+        )
+
     def spatial_median_rate_q(spark, sf):
         return _round(
             rt.spatial_median_rate(
@@ -903,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_global_perm": moran_global_perm,
         "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "spatial_median_rate": spatial_median_rate_q,
     }
 

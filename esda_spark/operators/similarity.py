@@ -340,3 +340,175 @@ def embedding_near_dup_pairs(
         .where(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "sim")
     )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int,
+    max_iters: int = 10,
+    seed: int = 42,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(k, dim) spherical k-means centroids by distributed Lloyd's:
+    centers broadcast each iteration, assignment + per-center partial
+    sums computed in ONE Arrow pass per partition (a BLAS scores
+    matrix then bincount-style accumulation), reduced with a tiny
+    groupBy — the classic Spark k-means shape.  Per-iteration shuffle
+    is O(partitions * k * dim) partial sums, never O(n).
+
+    Centers seed from a hash-sample of the corpus; empty clusters
+    keep their previous center.  Returns L2-normalized centers (the
+    coarse quantizer for :func:`ivf_topk`).
+    """
+    spark = embeddings.sparkSession
+    sample = (
+        embeddings.select(F.col(vec_col))
+        .where(F.pmod(F.xxhash64(F.col(id_col)) + seed, 997) < 200)
+        .limit(int(k))
+        .collect()
+    )
+    if len(sample) < k:
+        sample += embeddings.select(F.col(vec_col)).limit(
+            k - len(sample)).collect()
+    C = np.array([np.asarray(r[0], dtype=np.float64) for r in sample[:k]])
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    dim = C.shape[1]
+
+    prepared = embeddings.select(F.col(vec_col).alias("_v"))
+    for _ in range(max_iters):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C_ = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+                X /= np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                a = np.argmax(X @ C_.T, axis=1)
+                sums = np.zeros_like(C_)
+                np.add.at(sums, a, X)
+                cnt = np.bincount(a, minlength=len(C_)).astype(np.float64)
+                nz = np.nonzero(cnt)[0]
+                yield pd.DataFrame({
+                    "c": nz,
+                    "s": list(sums[nz]),
+                    "n": cnt[nz],
+                })
+
+        rows = (
+            prepared.mapInPandas(
+                partial, schema="c long, s array<double>, n double"
+            )
+            .groupBy("c")
+            .agg(
+                F.array(*[
+                    F.sum(F.col("s")[i]).alias(f"_{i}") for i in range(dim)
+                ]).alias("s"),
+                F.sum("n").alias("n"),
+            )
+            .collect()
+        )
+        newC = C.copy()
+        for r in rows:
+            if r.n > 0:
+                v = np.asarray(r.s, dtype=np.float64) / r.n
+                nv = np.linalg.norm(v)
+                if nv > 1e-12:
+                    newC[r.c] = v / nv
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        bc.destroy()
+        if shift < tol:
+            break
+    return C
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centers: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """(query_id, vec_id, rank, sim): IVF approximate top-k — the
+    second ANN scale path next to :func:`lsh_topk`.
+
+    The corpus is assigned once to its nearest k-means centroid (the
+    inverted lists); each query probes its ``nprobe`` closest
+    centroids and scores ONLY those lists' members via the broadcast
+    join on list id.  Expected candidate volume ~ n * nprobe / k_lists
+    per query; both sides stay distributed (queries are a broadcast
+    fact of (q, nprobe) rows).  Skewed lists (dense regions) are
+    handled by AQE skew-join like any other hot key.
+    """
+    spark = embeddings.sparkSession
+    Cn = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+    )
+    bc = spark.sparkContext.broadcast(Cn)
+
+    def assign_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-12)
+            yield pd.DataFrame({
+                "vec_id": pdf["_id"].to_numpy(),
+                "list_id": np.argmax(Xn @ C_.T, axis=1),
+                "cv": pdf["_v"].to_numpy(),
+            })
+
+    def assign_queries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C_ = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-12)
+            probes = np.argsort(-(Xn @ C_.T), axis=1)[:, :nprobe]
+            ids = pdf["_id"].to_numpy()
+            yield pd.DataFrame({
+                "query_id": np.repeat(ids, probes.shape[1]),
+                "list_id": probes.ravel(),
+                "qv": np.repeat(pdf["_v"].to_numpy(), probes.shape[1]),
+            })
+
+    vec_t = "array<double>"
+    corpus = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(
+        assign_corpus, schema=f"vec_id long, list_id long, cv {vec_t}"
+    )
+    qprobes = queries.select(
+        F.col(query_id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).mapInPandas(
+        assign_queries, schema=f"query_id long, list_id long, qv {vec_t}"
+    )
+    scored = (
+        F.broadcast(qprobes).join(corpus, "list_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id",
+            (_dot(F.col("qv"), F.col("cv"))
+             / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )

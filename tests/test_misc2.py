@@ -467,3 +467,29 @@ def test_ann_multiprobe_and_clustered_recall(spark):
     assert r1 >= 0.8, (r0, r1)
     emb.unpersist()
     exact.unpersist()
+
+
+def test_ivf_topk_recall(spark):
+    from esda_spark.operators.similarity import (
+        cosine_topk, ivf_topk, kmeans_fit, recall_at_k,
+    )
+    from esda_spark.sources.embeddings import synthetic_embeddings
+
+    emb = synthetic_embeddings(
+        spark, 3000, dim=32, clusters=30, noise=0.35
+    ).cache()
+    emb.count()
+    centers = kmeans_fit(emb, k=30, max_iters=8, seed=3)
+    assert centers.shape == (30, 32)
+    # centers are unit-norm
+    assert np.allclose(np.linalg.norm(centers, axis=1), 1.0)
+    q = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, q, k=10).cache()
+    exact.count()
+    r1 = recall_at_k(ivf_topk(emb, q, centers, k=10, nprobe=1), exact, 10)
+    r4 = recall_at_k(ivf_topk(emb, q, centers, k=10, nprobe=4), exact, 10)
+    assert r4 >= r1
+    assert r4 >= 0.85, (r1, r4)
+    emb.unpersist()
+    exact.unpersist()
