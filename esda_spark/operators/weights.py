@@ -252,8 +252,12 @@ def _knn_rounds_multi(
     unsettled = pts.localCheckpoint(eager=True)
     results: list[DataFrame] = []
     min_rad = 1
+    force_world = False
     for _ in range(max_rounds):
-        world_covered = min_rad * min(sizes.values()) > 400.0
+        # a straggler tail (<= 2048 focals) finishes in ONE broadcast
+        # brute-force job instead of more doubling-ring rounds — each
+        # ring round costs ~3 fixed jobs regardless of focal count
+        world_covered = force_world or min_rad * min(sizes.values()) > 400.0
         dx = F.col("x") - F.col("nx")
         dy = F.col("y") - F.col("ny")
         if world_covered:
@@ -311,8 +315,10 @@ def _knn_rounds_multi(
             .withColumn("rad", F.col("rad") * 2)
             .localCheckpoint(eager=True)
         )
-        if unsettled.count() == 0:
+        n_rem = unsettled.count()
+        if n_rem == 0:
             break
+        force_world = n_rem <= 2048
         min_rad *= 2
     out = results[0]
     for r in results[1:]:
