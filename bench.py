@@ -489,7 +489,41 @@ def scale_smoke_dedup(n: int) -> None:
     spark.stop()
 
 
+def scale_smoke_adbscan(n: int) -> None:
+    """Fused-ensemble ADBSCAN at arbitrary synthetic size: reps draws
+    execute as one job chain (rep-translation encoding), so the wall
+    time scales with total sampled points, not with reps x job
+    latency."""
+    from esda_spark.operators.adbscan import adbscan
+    from esda_spark.session import get_spark
+    from esda_spark.sources.points import synthetic_points
+
+    spark = get_spark("scale-smoke-adbscan", parallelism=CPUS,
+                      shuffle_partitions=max(2 * CPUS, 16))
+    pts = synthetic_points(spark, n).cache()
+    n_real = pts.count()
+    t0 = time.perf_counter()
+    res = adbscan(pts, eps=0.5, min_samples=20, pct_exact=0.1, reps=8,
+                  seed=3, pct_thr=0.7)
+    rows = res.count()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "scale smoke (synthetic points -> fused ADBSCAN, "
+                  "8 draws at 10% sampling)",
+        "n": n_real, "rows": rows,
+        "adbscan_sec": round(dt, 1),
+        "points_per_sec": round(n_real / dt, 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
 def main() -> None:
+    if "--scale-smoke-adbscan" in sys.argv:
+        i = sys.argv.index("--scale-smoke-adbscan")
+        scale_smoke_adbscan(int(sys.argv[i + 1]) if len(sys.argv) > i + 1
+                            else 1_000_000)
+        return
     if "--scale-smoke-pip" in sys.argv:
         i = sys.argv.index("--scale-smoke-pip")
         scale_smoke_pip(int(sys.argv[i + 1]) if len(sys.argv) > i + 1
