@@ -493,7 +493,15 @@ def scale_smoke_adbscan(n: int) -> None:
     """Fused-ensemble ADBSCAN at arbitrary synthetic size: reps draws
     execute as one job chain (rep-translation encoding), so the wall
     time scales with total sampled points, not with reps x job
-    latency."""
+    latency.
+
+    eps scales as 1/sqrt(n) so the expected eps-ball occupancy is
+    constant across sizes — a FIXED eps over n-growing density makes
+    the eps-graph quadratic inside hot spots for ANY DBSCAN (the
+    reference's sklearn backend included); density-matched eps is the
+    apples-to-apples scaling experiment."""
+    import math
+
     from esda_spark.operators.adbscan import adbscan
     from esda_spark.session import get_spark
     from esda_spark.sources.points import synthetic_points
@@ -502,15 +510,16 @@ def scale_smoke_adbscan(n: int) -> None:
                       shuffle_partitions=max(2 * CPUS, 16))
     pts = synthetic_points(spark, n).cache()
     n_real = pts.count()
+    eps = 0.5 * math.sqrt(150_000 / max(n_real, 1))
     t0 = time.perf_counter()
-    res = adbscan(pts, eps=0.5, min_samples=20, pct_exact=0.1, reps=8,
+    res = adbscan(pts, eps=eps, min_samples=20, pct_exact=0.1, reps=8,
                   seed=3, pct_thr=0.7)
     rows = res.count()
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "scale smoke (synthetic points -> fused ADBSCAN, "
-                  "8 draws at 10% sampling)",
-        "n": n_real, "rows": rows,
+                  "8 draws at 10% sampling, density-matched eps)",
+        "n": n_real, "rows": rows, "eps": round(eps, 4),
         "adbscan_sec": round(dt, 1),
         "points_per_sec": round(n_real / dt, 1),
         "cpus": CPUS,

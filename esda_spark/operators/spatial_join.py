@@ -107,52 +107,45 @@ def knn_join(
     cell_size: float | None = None,
 ) -> DataFrame:
     """(left_id, right_id, rank, dist): exact kNN of right-points for
-    each left-point.  Re-uses the doubling-ring settlement of the
-    weights builder on the unioned id space."""
+    each left-point (self-matches allowed: a left point colocated with
+    a right point at distance 0 keeps it — the 1-NN-classifier
+    semantics ADBSCAN's label extension needs).
+
+    Shares the weights builder's density-adaptive machinery with the
+    levels derived from the RIGHT side: per-cell candidate volume is
+    left_count x right_count, and only the right factor can be bounded
+    by refining the grid — a 33k-focal hot cell over 3k targets would
+    otherwise enumerate ~1e8 candidate rows in one cell."""
     from pyspark.sql import Window
 
-    if cell_size is None:
-        cell_size = 1.0
-    lpts = with_cell(left.select(F.col("id").alias("lid"), "x", "y"), cell_size)
-    rpts = with_cell(right.select("id", "x", "y"), cell_size).select(
-        F.col("id").alias("rid"), F.col("x").alias("rx"),
-        F.col("y").alias("ry"), F.col("cell"),
+    from esda_spark.operators.weights import (
+        _density_levels,
+        _estimate_cell_size,
+        _knn_rounds_multi,
     )
-    from esda_spark.plans.cells import expand_ring
 
-    results = []
-    unsettled = lpts
-    radius = 1
-    for _ in range(12):
-        cand = expand_ring(unsettled, radius).join(rpts, "cell")
-        dx = F.col("x") - F.col("rx")
-        dy = F.col("y") - F.col("ry")
-        cand = cand.select("lid", "rid", (dx * dx + dy * dy).alias("d2"))
-        win = Window.partitionBy("lid").orderBy("d2", "rid")
-        topk = cand.withColumn("rank", F.row_number().over(win)).where(
-            F.col("rank") <= k
+    lpts = left.select("id", "x", "y")
+    rpts = right.select("id", "x", "y")
+    if cell_size is None:
+        cell_size = _estimate_cell_size(rpts, k)
+    sc = left.sparkSession.sparkContext
+    pids_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    levels = _density_levels(lpts, rpts, cell_size,
+                             density_threshold=max(4 * k, 32),
+                             max_levels=12)
+    edges = _knn_rounds_multi(
+        levels, rpts, k, cell_size, binary=True, max_rounds=12,
+        pids_before=pids_before, exclude_self=False, keep_d2=True,
+    )
+    win = Window.partitionBy("focal").orderBy("d2", "neighbor")
+    return (
+        edges.withColumn("rank", F.row_number().over(win))
+        .select(
+            F.col("focal").alias("left_id"),
+            F.col("neighbor").alias("right_id"),
+            "rank",
+            F.sqrt("d2").alias("dist"),
         )
-        guard = float(radius * cell_size) ** 2
-        stats = topk.groupBy("lid").agg(
-            F.count("*").alias("cnt"), F.max("d2").alias("d2max")
-        )
-        done = radius * cell_size > 400.0
-        settled = stats.where(
-            ((F.col("cnt") >= k) & (F.col("d2max") < F.lit(guard))) | F.lit(done)
-        ).select("lid")
-        results.append(topk.join(settled, "lid").localCheckpoint(eager=True))
-        unsettled = unsettled.join(settled, "lid", "left_anti").localCheckpoint(
-            eager=True
-        )
-        if done or unsettled.isEmpty():
-            break
-        radius *= 2
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionByName(r)
-    return out.select(
-        F.col("lid").alias("left_id"), F.col("rid").alias("right_id"),
-        "rank", F.sqrt("d2").alias("dist"),
     )
 
 

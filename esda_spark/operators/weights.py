@@ -100,71 +100,101 @@ def knn_edges(
         # stays cheap only when cells hold O(k) points
         density_threshold = max(4 * k, 32)
 
-    # --- density-level assignment (quadtree split of hot cells) ---
-    # ONE pass, not one groupBy+collect job per level: count level-0
-    # cells; if none exceed the threshold (the common case) every point
-    # is level 0 after a single metadata aggregate.  Otherwise points in
-    # hot level-0 cells get their finest-resolution cell counted once,
-    # each fine cell explodes its ancestor chain (metadata-scale: rows =
-    # #fine-cells x max_levels, never points), ancestor counts roll up
-    # in one shuffle, and each fine cell's assignment is the SHALLOWEST
-    # level whose ancestor cell is at or under the threshold.
-    from esda_spark.plans.cells import cell_xy, pack_cell
+    levels = _density_levels(base, base, cell_size, density_threshold,
+                             max_levels)
+    return _knn_rounds_multi(levels, base, k, cell_size, binary,
+                             max_rounds, pids_before)
 
+
+def _density_levels(
+    focals: DataFrame,
+    density_src: DataFrame,
+    cell_size: float,
+    density_threshold: int,
+    max_levels: int,
+) -> list[tuple[int, DataFrame]]:
+    """Quadtree density-level assignment: split ``focals`` into
+    (level, frame) classes so that, at each focal's level, a
+    ``density_src`` cell holds at most ``density_threshold`` points.
+
+    ``density_src`` is the TARGET side of the candidate join — for
+    kNN edges it is the points themselves; for a left-vs-right kNN
+    join it is the right side, because per-cell candidate volume is
+    focal_count x target_count and only the target factor can be
+    bounded by refining the grid.
+
+    ONE pass, not one groupBy+collect job per level: count level-0
+    cells; if none exceed the threshold (the common case) every focal
+    is level 0 after a single metadata aggregate.  Otherwise focals in
+    hot level-0 cells get their finest-resolution cell keyed once,
+    each focal fine cell explodes its ancestor chain (metadata-scale:
+    rows = #fine-cells x max_levels, never points), source counts roll
+    up the same ancestry in one shuffle, and each fine cell's
+    assignment is the SHALLOWEST level whose ancestor source count is
+    at or under the threshold (a focal cell with no source points at
+    some ancestor level counts as 0 there).
+    """
+    from esda_spark.plans.cells import cell_xy
+
+    src = density_src.select("x", "y")
     counts0 = (
-        base.withColumn("_c", cell_key(F.col("x"), F.col("y"), cell_size))
+        src.withColumn("_c", cell_key(F.col("x"), F.col("y"), cell_size))
         .groupBy("_c").count()
         .cache()  # #cells rows; reused by the hot-cell broadcast below
     )
     max0 = counts0.agg(F.max("count")).collect()[0][0] or 0
     if int(max0) <= density_threshold:
-        levels: list[tuple[int, DataFrame]] = [(0, base)]
-        out = _knn_rounds_multi(levels, base, k, cell_size, binary,
-                                max_rounds, pids_before)
-        counts0.unpersist()
-        return out
+        return [(0, focals.select("id", "x", "y"))]
 
     hot0 = F.broadcast(
         counts0.where(F.col("count") > density_threshold).select("_c")
     )
-    keyed0 = base.withColumn(
+    keyed0 = focals.select("id", "x", "y").withColumn(
         "_c", cell_key(F.col("x"), F.col("y"), cell_size)
     )
     sparse0 = keyed0.join(hot0, "_c", "left_anti").select("id", "x", "y")
-    dense_pts = keyed0.join(hot0, "_c", "left_semi").select("id", "x", "y")
+    dense_f = keyed0.join(hot0, "_c", "left_semi").select("id", "x", "y")
 
     fine_size = cell_size / (2**max_levels)
     fx, fy = cell_xy(F.col("x"), F.col("y"), fine_size)
-    fine = dense_pts.withColumn("_fx", fx).withColumn("_fy", fy)
-    fine_counts = fine.groupBy("_fx", "_fy").count()
-    # ancestor rollup: every fine cell contributes its count to each of
-    # its max_levels ancestors (shift by max_levels - l)
-    anc = fine_counts.select(
-        "_fx", "_fy", "count",
-        F.explode(F.sequence(F.lit(1), F.lit(max_levels))).alias("lvl"),
-    ).select(
-        "lvl",
-        # arithmetic shift right == floor-div by 2^d, exact dyadic
-        # quadtree ancestry even for negative grid coords
-        F.expr(f"shiftright(_fx, cast({max_levels} - lvl as int))")
-        .alias("_ax"),
-        F.expr(f"shiftright(_fy, cast({max_levels} - lvl as int))")
-        .alias("_ay"),
-        "_fx", "_fy", "count",
+    src_fine_counts = (
+        src.withColumn("_fx", fx).withColumn("_fy", fy)
+        .groupBy("_fx", "_fy").count()
     )
-    anc_counts = anc.groupBy("lvl", "_ax", "_ay").agg(
+    # ancestor rollup of SOURCE counts: every fine cell contributes to
+    # each of its max_levels ancestors (shift by max_levels - l);
+    # arithmetic shift right == floor-div by 2^d, exact dyadic quadtree
+    # ancestry even for negative grid coords
+    def _anc(df):
+        return df.select(
+            "*",
+            F.explode(F.sequence(F.lit(1), F.lit(max_levels))).alias("lvl"),
+        ).select(
+            "*",
+            F.expr(f"shiftright(_fx, cast({max_levels} - lvl as int))")
+            .alias("_ax"),
+            F.expr(f"shiftright(_fy, cast({max_levels} - lvl as int))")
+            .alias("_ay"),
+        )
+
+    anc_counts = _anc(src_fine_counts).groupBy("lvl", "_ax", "_ay").agg(
         F.sum("count").alias("acount")
     )
-    # shallowest sparse ancestor level per fine cell (level 0 is hot by
-    # construction here); cells dense at every level land at max_levels
+    fine = dense_f.withColumn("_fx", fx).withColumn("_fy", fy)
+    f_cells = fine.select("_fx", "_fy").distinct()
+    # shallowest sparse ancestor level per focal fine cell (level 0 is
+    # hot by construction); cells dense at every level -> max_levels
     assign = (
-        anc.select("lvl", "_ax", "_ay", "_fx", "_fy")
-        .join(anc_counts, ["lvl", "_ax", "_ay"])
+        _anc(f_cells)
+        .join(anc_counts, ["lvl", "_ax", "_ay"], "left")
         .groupBy("_fx", "_fy")
         .agg(
             F.coalesce(
-                F.min(F.when(F.col("acount") <= density_threshold,
-                             F.col("lvl"))),
+                F.min(F.when(
+                    F.coalesce(F.col("acount"), F.lit(0))
+                    <= density_threshold,
+                    F.col("lvl"),
+                )),
                 F.lit(max_levels),
             ).alias("lvl")
         )
@@ -189,10 +219,7 @@ def knn_edges(
         (lv, labeled.where(F.col("lvl") == lv).select("id", "x", "y"))
         for lv in lvl_values
     ]
-    out = _knn_rounds_multi(levels, base, k, cell_size, binary, max_rounds,
-                            pids_before)
-    counts0.unpersist()
-    return out
+    return levels
 
 
 def _knn_rounds_multi(
@@ -203,6 +230,8 @@ def _knn_rounds_multi(
     binary: bool,
     max_rounds: int,
     pids_before: set | None = None,
+    exclude_self: bool = True,
+    keep_d2: bool = False,
 ) -> DataFrame:
     """Doubling-ring settlement with ALL density levels in one loop:
     focals carry their level, targets are indexed once per active level,
@@ -268,13 +297,16 @@ def _knn_rounds_multi(
                     F.col("id").alias("neighbor"), F.col("x").alias("nx"),
                     F.col("y").alias("ny"),
                 )
-            ).where(F.col("id") != F.col("neighbor"))
+            )
+            if exclude_self:
+                cand = cand.where(F.col("id") != F.col("neighbor"))
         else:
             cand = (
                 expand_ring_col(unsettled.withColumnRenamed("cell", "cell0"))
                 .join(targets, ["lvl", "cell"])
-                .where(F.col("id") != F.col("neighbor"))
             )
+            if exclude_self:
+                cand = cand.where(F.col("id") != F.col("neighbor"))
         guard2 = (F.col("rad").cast("double") * guard_size) ** 2
         cand = cand.select(
             "id", "neighbor", (dx * dx + dy * dy).alias("d2"),
@@ -296,11 +328,15 @@ def _knn_rounds_multi(
                 ),
             )
         ).localCheckpoint(eager=True)
-        edges = topk.where(F.col("_settled")).select(
+        edge_cols = [
             F.col("id").alias("focal"),
-            "neighbor",
-            (F.lit(1.0) if binary else (F.lit(1.0) / F.sqrt("d2"))).alias("weight"),
-        )
+            F.col("neighbor"),
+            (F.lit(1.0) if binary else (F.lit(1.0) / F.sqrt("d2")))
+            .alias("weight"),
+        ]
+        if keep_d2:
+            edge_cols.append(F.col("d2"))
+        edges = topk.where(F.col("_settled")).select(*edge_cols)
         results.append(edges)
         if world_covered:
             break
