@@ -831,9 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_global": moran_global,
         "geary_global": geary_global,
         "getis_g_global": getis_g_global,
-        "gamma_ops": gamma_c,
         "join_counts_global": join_counts_global,
-        "lee_global": lee_global,
         "moran_bv_global": moran_bv_global,
         "moran_local_observed": moran_local_observed,
         "g_local_observed": g_local_observed,
@@ -843,25 +841,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lee_local_observed": lee_local_observed,
         "rates_all": rates_all,
         "spatial_rates": spatial_rates,
-        "pip_grid": pip_grid,
-        "pip_rotated": pip_rotated,
-        "dedup_exact": dedup_exact,
         "minhash_signatures": minhash_sigs,
         "lsh_pairs": lsh_pairs,
         "simhash": simhash_sigs,
-        "ngram_jaccard": ngram_jaccard_q,
         "geary_local_mv_observed": geary_local_mv_observed,
         "moran_local_bv_observed": moran_local_bv_observed,
         "ljc_bv_observed": ljc_bv_observed,
         "ljc_mv_observed": ljc_mv_observed,
         "distance_band_edges": distance_band_q,
-        "weights_transforms": weights_transforms,
-        "kernel_smoother": kernel_smoother_q,
-        "isolation": isolation_q,
-        "spatial_filtering": spatial_filtering_q,
-        "age_standardization": age_std_q,
-        "moran_bv_matrix": moran_bv_matrix_q,
-        "silhouette_alist": silhouette_q,
         "nearest_label": nearest_label_q,
         # oracle-backed queries MUST precede the rows-only ones: the
         # driver scores only the first 50 keys of this dict.
@@ -871,18 +858,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_stats_rotated": shape_stats_rotated,
         "correlogram_moran": correlogram_moran,
         "boundary_silhouette": boundary_silhouette_q,
-        # round-3 window rotation: six oracle-backed queries the driver
-        # had never scored (previously pytest-only) take the slots of
-        # six long-stable trivial rows (events_cell_counts,
-        # raster_tiling, lang_id, quality_score, token_counts,
-        # fingerprint), which keep their oracles via tests/test_entry.py
         "dbscan": dbscan_q,
         "polygon_contiguity": polygon_contiguity_q,
         "moran_local_conditional_observed": moran_local_conditional_observed,
         "by_col_observed": by_col_observed,
         "choynowski": choynowski_q,
         "embedding_near_dup": embedding_near_dup_q,
-        # --- end of the driver's 50-query scoring window ---
+        # round-4 window rotation (VERDICT r3 item 2): the 13 oracle-
+        # backed queries still outside the window rotate in — 7 the
+        # driver has NEVER scored (moi_regions, correlogram_knn,
+        # g_local_star_observed, age_adjusted_smoother,
+        # weighted_median_rate, ann_topk, spatial_median_rate) plus the
+        # 6 displaced in round 3 — so after this round every one of the
+        # 63 oracle-backed queries has driver-scored history.  The 13
+        # displaced (gamma_ops, lee_global, pip_grid, pip_rotated,
+        # dedup_exact, ngram_jaccard, weights_transforms,
+        # kernel_smoother, isolation, spatial_filtering,
+        # age_standardization, moran_bv_matrix, silhouette_alist)
+        # each have 3 rounds of green driver history and
+        # stay oracle-checked every CI run via
+        # tests/test_entry.py::test_query_matches_oracle, which sweeps
+        # ALL oracle_sql() keys, not just the driver window.
         "events_cell_counts": events_cell_counts,
         "raster_tiling": raster_tiling_q,
         "lang_id": lang_id_q,
@@ -891,18 +887,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": fingerprint_q,
         "moi_regions": moi_regions_q,
         "correlogram_knn": correlogram_knn_q,
+        "g_local_star_observed": g_local_star_observed,
+        "age_adjusted_smoother": age_adjusted_smoother_q,
+        "weighted_median_rate": weighted_median_rate_q,
+        "ann_topk": ann_topk,
+        "spatial_median_rate": spatial_median_rate_q,
+        # --- end of the driver's 50-query scoring window ---
+        "gamma_ops": gamma_c,
+        "lee_global": lee_global,
+        "pip_grid": pip_grid,
+        "pip_rotated": pip_rotated,
+        "dedup_exact": dedup_exact,
+        "ngram_jaccard": ngram_jaccard_q,
+        "weights_transforms": weights_transforms,
+        "kernel_smoother": kernel_smoother_q,
+        "isolation": isolation_q,
+        "spatial_filtering": spatial_filtering_q,
+        "age_standardization": age_std_q,
+        "moran_bv_matrix": moran_bv_matrix_q,
+        "silhouette_alist": silhouette_q,
         # non-oracle (seeded permutation / ANN / iterative) — rows-only
         "lisa_full": lisa_full,
         "path_silhouette": path_silhouette_q,
         "prominence": prominence_q,
         "cluster_boundaries": cluster_boundaries_q,
-        "g_local_star_observed": g_local_star_observed,
         "correlogram_lowess": correlogram_lowess_q,
         "image_features": image_features_q,
         "audio_features": audio_features_q,
         "age_standardization_ci": age_std_ci_q,
-        "age_adjusted_smoother": age_adjusted_smoother_q,
-        "weighted_median_rate": weighted_median_rate_q,
         "adbscan": adbscan_q,
         "local_crossplot": local_crossplot_q,
         "moran_local_partial": moran_local_partial_q,
@@ -911,10 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_local_star_sim": g_local_star_sim,
         "ljc_sim": ljc_sim,
         "moran_global_perm": moran_global_perm,
-        "ann_topk": ann_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
-        "spatial_median_rate": spatial_median_rate_q,
     }
 
 

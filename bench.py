@@ -474,7 +474,8 @@ def scale_smoke_dedup(n: int) -> None:
         (F.col("doc_b") == F.col("doc_a") + 1)
         & (F.col("doc_b") % 100 == 1)
     ).count()
-    expected = (n_real + 98) // 100 - 1  # docs with id%100==1, id>=1
+    # docs with id%100==1 in [0, n): doc 1's pair with doc 0 counts too
+    expected = (n_real + 98) // 100
     print(json.dumps({
         "metric": "scale smoke (synthetic docs -> MinHash16 -> LSH "
                   "bands=4, 1% planted near-dups)",

@@ -9,9 +9,9 @@ Here every step is a distributed dataflow:
 1. draw r samples `pct_exact` of points by seeded hash;
 2. DBSCAN on the sample is expressed as: distance-band edges at eps
    (cell-candidate join) -> core points (>= min_samples-1 neighbors)
-   -> connected components over core-core edges by iterative min-label
-   propagation (Pregel-style join+min-agg rounds) -> border points
-   attach to their minimum-label core neighbor;
+   -> connected components over core-core edges by large-star /
+   small-star contraction (O(log n) rounds; components.py) -> border
+   points attach to their minimum-label core neighbor;
 3. labels extend to all points via an exact 1-NN join;
 4. labels re-map across draws by nearest cluster centroid to draw 0
    (tiny driver-side table, as in reference ``remap_lbls``), then
@@ -26,6 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from esda_spark.operators.components import connected_components
 from esda_spark.operators.spatial_join import knn_join
 from esda_spark.operators.weights import distance_band_edges
 
@@ -37,10 +38,16 @@ def dbscan(
     eps: float,
     min_samples: int,
     cell_size: float | None = None,
-    max_iterations: int = 25,
+    max_iterations: int = 40,
 ) -> DataFrame:
     """(id, cluster): distributed DBSCAN; cluster = min point id in the
-    component, NOISE (-1) for noise points."""
+    component, NOISE (-1) for noise points.
+
+    Core-core components run through large-star/small-star contraction
+    (``components.connected_components``), which converges in O(log n)
+    rounds instead of the O(component-diameter) min-label propagation
+    used through round 3 — the fix that unblocks 1M+ ADBSCAN runs whose
+    eps-graphs form long filament clusters."""
     edges = distance_band_edges(
         points, threshold=eps, cell_size=cell_size or eps
     ).cache()
@@ -52,40 +59,14 @@ def dbscan(
         edges.join(core.withColumnRenamed("id", "focal"), "focal", "left_semi")
         .join(core.withColumnRenamed("id", "neighbor"), "neighbor", "left_semi")
         .select("focal", "neighbor")
-        .cache()
     )
-    labels = core.withColumn("cluster", F.col("id"))
-    for _ in range(max_iterations):
-        nbr_min = (
-            cc_edges.join(
-                labels.withColumnRenamed("id", "neighbor")
-                .withColumnRenamed("cluster", "ncl"),
-                "neighbor",
-            )
-            .groupBy("focal")
-            .agg(F.min("ncl").alias("nbr_cluster"))
-            .withColumnRenamed("focal", "id")
-        )
-        new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster"), F.coalesce("nbr_cluster", F.col("cluster"))
-                ).alias("cluster"),
-            )
-            .localCheckpoint(eager=True)  # truncate per-iteration lineage
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    comp = connected_components(cc_edges, "focal", "neighbor",
+                                max_iterations=max_iterations)
+    # isolated core points (no core neighbor) label themselves
+    labels = core.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("cluster")
+    ).cache()
+    labels.count()
     border = (
         edges.join(labels.withColumnRenamed("id", "neighbor")
                    .withColumnRenamed("cluster", "ncl"), "neighbor")
@@ -118,21 +99,33 @@ def adbscan(
 
     All ``reps`` draws execute as ONE fused job chain, not a serial
     Python loop of per-draw jobs: draw r is encoded as the spatial
-    translation x -> x + r*offset (offset > domain span + ring reach,
-    so no distance band or 1-NN edge can cross draws) with composite
-    ids r*id_base + id.  One dbscan call then label-propagates every
-    draw simultaneously (iterations = max over draws instead of sum),
-    one knn_join extends every draw's labels, and the per-draw
-    centroid collects collapse into one groupBy.  The encoding is
-    exact: min-composite-id per component decodes to min-id within the
-    draw, and 1-NN tie-break order on composite ids equals id order.
+    translation x -> x + r*offset with composite ids r*id_base + id.
+    Cross-draw contamination is excluded structurally, not by gap
+    sizing: the offset (> span + eps) keeps distance-band edges inside
+    their own draw, and the 1-NN extension passes ``group_div=id_base``
+    to ``knn_join`` so BOTH its candidate paths (doubling rings and the
+    straggler brute force, either of which can reach arbitrarily far)
+    only ever match same-draw pairs — a sparse outlier whose own-draw
+    nearest sample is distant still gets that sample, never an
+    adjacent draw's translated copy.  One dbscan call then resolves
+    every draw's components simultaneously, one knn_join extends every
+    draw's labels, and the per-draw centroid collects collapse into
+    one groupBy.  The encoding is exact: min-composite-id per
+    component decodes to min-id within the draw, and 1-NN tie-break
+    order on composite ids equals id order.
     """
     spark = points.sparkSession
     agg = points.agg(
-        F.max("id").alias("mi"), F.min("x").alias("x0"),
-        F.max("x").alias("x1"),
+        F.max("id").alias("mi"), F.min("id").alias("lo"),
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
     ).collect()[0]
     id_base = int(agg.mi) + 1
+    if int(agg.lo) < 0 or reps * id_base >= 2**62:
+        raise ValueError(
+            "adbscan composite ids need 0 <= id and reps*(max_id+1) < "
+            f"2^62; got min_id={agg.lo}, max_id={agg.mi}, reps={reps}. "
+            "Densify ids first (e.g. row_number over a stable order)."
+        )
     cs = cell_size or eps
     offset = float(agg.x1 - agg.x0) + 64.0 * max(eps, cs) + 1.0
     ms = max(int(np.floor(min_samples * pct_exact)), 1)
@@ -166,13 +159,15 @@ def adbscan(
     )
     ext = (
         knn_join(all_rep, labeled.select("id", "x", "y"), k=1,
-                 cell_size=cs)
+                 cell_size=cs, group_div=id_base)
         .select(F.col("left_id").alias("cid"),
                 F.col("right_id").alias("src"))
         .join(lab.withColumnRenamed("id", "src"), "src")
         .select(
+            # integer div/mod decode: exact for the full int64 range
+            # (double division loses exactness past 2^53)
             (F.col("cid") % id_base).alias("id"),
-            (F.col("cid") / id_base).cast("long").alias("rep"),
+            F.expr(f"cid div {id_base}").alias("rep"),
             "lbl",
         )
         .cache()

@@ -1,0 +1,132 @@
+"""Connected components in O(log n) rounds: alternating large-star /
+small-star contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond", SoCC 2014).
+
+Replaces the min-label-propagation loop that DBSCAN used through round 3
+(reference sklearn DBSCAN in ``adbscan.py:239-265`` never faces this — it
+is in-core): propagation converges in O(component diameter) rounds, so a
+1M-point run whose eps-graph forms long filament clusters stalls on
+iteration count.  The two star operations contract every tree of the
+current parent forest toward its minimum in alternating directions, which
+the paper proves converges in O(log n) rounds — in practice 4-8 rounds at
+1M nodes regardless of cluster shape.
+
+Every round is two shuffle stages (a groupBy-min and a join), all
+DataFrame-native, with per-round ``localCheckpoint`` to truncate lineage
+and a persistent-block sweep at the end so repeated builds in one session
+do not accumulate storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor v to
+    m(u) = min(neighbors(u) + {u})."""
+    sym = e.select("u", "v").unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("u", "mv").alias("m")
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient each edge high -> low; for each node u connect all of its
+    smaller neighbors (and u itself) to their minimum."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(m.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "focal",
+    dst: str = "neighbor",
+    max_iterations: int = 40,
+) -> DataFrame:
+    """(id, component): component = minimum node id in each connected
+    component of the undirected graph ``edges``.
+
+    Only nodes that appear in at least one non-self edge are returned —
+    isolated nodes are the caller's concern (coalesce with their own id).
+
+    Convergence is detected by an order-independent checksum of the edge
+    set (count + sum of per-edge hashes): both star operations are
+    deterministic set-to-set maps, so a fixed point of the checksum is a
+    fixed point of the edge set, which the paper shows is the star forest
+    rooted at component minima.
+    """
+    sc = edges.sparkSession.sparkContext
+    pids_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) sum: exact, no int64 overflow under ANSI
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row.n, row.h)
+        if sig == prev_sig:
+            # checksum fixed point -> verify star-ness outright (a center
+            # never appears as a leaf); guards the remote chance of a
+            # composition fixed point that is not yet a star forest
+            not_star = (
+                e.select("v").distinct()
+                .join(e.select(F.col("u").alias("v")).distinct(), "v",
+                      "left_semi")
+                .limit(1).count()
+            )
+            if not_star == 0:
+                break
+        prev_sig = sig
+    # terminal star forest: every edge is (node, component-min); the min
+    # itself appears only on the right side
+    comp = (
+        e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+        .unionByName(
+            e.select(F.col("v").alias("id"), F.col("v").alias("component"))
+        )
+        .distinct()
+    )
+    pids_mid = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    comp = comp.localCheckpoint(eager=True)
+    keep = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - pids_mid
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in (pids_mid - pids_before) - keep:
+        jr = jmap.get(rid)
+        if jr is not None:
+            jr.unpersist()
+    return comp

@@ -103,11 +103,13 @@ def _correlogram_knn(
     from esda_spark.operators.weights import knn_edges
 
     ks = sorted(int(s) for s in supports)
-    # binary=False keeps weight = 1/sqrt(d2): descending weight + id
-    # reproduces the builder's (d2, neighbor) ascending order exactly
-    cand = knn_edges(points, k=ks[-1], binary=False)
+    # keep_d2 + (d2 asc, neighbor) is EXACTLY the builder's settlement
+    # order; ranking on weight = 1/sqrt(d2) descending was wrong for
+    # coincident points (d2 = 0 -> NULL weight -> NULLS LAST under
+    # desc(), demoting the nearest neighbor to last)
+    cand = knn_edges(points, k=ks[-1], binary=True, keep_d2=True)
     win = Window.partitionBy("focal").orderBy(
-        F.col("weight").desc(), F.col("neighbor")
+        F.col("d2").asc(), F.col("neighbor")
     )
     ranked = cand.withColumn("rk", F.row_number().over(win)).cache()
     ranked.count()

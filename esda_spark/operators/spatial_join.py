@@ -105,6 +105,7 @@ def knn_join(
     right: DataFrame,
     k: int,
     cell_size: float | None = None,
+    group_div: int | None = None,
 ) -> DataFrame:
     """(left_id, right_id, rank, dist): exact kNN of right-points for
     each left-point (self-matches allowed: a left point colocated with
@@ -115,7 +116,12 @@ def knn_join(
     levels derived from the RIGHT side: per-cell candidate volume is
     left_count x right_count, and only the right factor can be bounded
     by refining the grid — a 33k-focal hot cell over 3k targets would
-    otherwise enumerate ~1e8 candidate rows in one cell."""
+    otherwise enumerate ~1e8 candidate rows in one cell.
+
+    ``group_div``: restrict matches to pairs whose ids share the same
+    integer-division group (``left_id div group_div == right_id div
+    group_div``) — the same-draw guarantee fused ADBSCAN's composite-id
+    encoding relies on (see ``_knn_rounds_multi``)."""
     from pyspark.sql import Window
 
     from esda_spark.operators.weights import (
@@ -136,6 +142,7 @@ def knn_join(
     edges = _knn_rounds_multi(
         levels, rpts, k, cell_size, binary=True, max_rounds=12,
         pids_before=pids_before, exclude_self=False, keep_d2=True,
+        group_div=group_div,
     )
     win = Window.partitionBy("focal").orderBy("d2", "neighbor")
     return (

@@ -73,6 +73,7 @@ def knn_edges(
     max_rounds: int = 12,
     density_threshold: int | None = None,
     max_levels: int = 12,
+    keep_d2: bool = False,
 ) -> DataFrame:
     """Exact kNN edges (Euclidean, tie-broken by neighbor id), with
     density-adaptive resolution for skewed (hot-cell) data.
@@ -103,7 +104,7 @@ def knn_edges(
     levels = _density_levels(base, base, cell_size, density_threshold,
                              max_levels)
     return _knn_rounds_multi(levels, base, k, cell_size, binary,
-                             max_rounds, pids_before)
+                             max_rounds, pids_before, keep_d2=keep_d2)
 
 
 def _density_levels(
@@ -232,6 +233,7 @@ def _knn_rounds_multi(
     pids_before: set | None = None,
     exclude_self: bool = True,
     keep_d2: bool = False,
+    group_div: int | None = None,
 ) -> DataFrame:
     """Doubling-ring settlement with ALL density levels in one loop:
     focals carry their level, targets are indexed once per active level,
@@ -242,6 +244,16 @@ def _knn_rounds_multi(
     their parent (still-dense) cell alone holds > threshold >= 4k
     points within 2*sqrt(2) fine cells.  Only level-0 focals can reach
     world coverage; those fall back to a broadcast brute force.
+
+    ``group_div``: when set, candidates are restricted to pairs with
+    ``id div group_div == neighbor div group_div`` — the same-draw
+    constraint fused ADBSCAN needs for its rep-translation encoding.
+    Applied to BOTH candidate paths (ring join and straggler brute
+    force), so no search radius, doubling round, or brute-force sweep
+    can ever produce a cross-group edge, regardless of how far the
+    translated copies sit.  Same-group distances are unaffected
+    (translation shifts both endpoints equally), so results remain the
+    exact per-group kNN.
     """
     lvl_ids = [lvl for lvl, _ in levels]
     sizes = {lvl: cell_size / (2**lvl) for lvl in lvl_ids}
@@ -307,6 +319,11 @@ def _knn_rounds_multi(
             )
             if exclude_self:
                 cand = cand.where(F.col("id") != F.col("neighbor"))
+        if group_div is not None:
+            cand = cand.where(
+                F.expr(f"id div {int(group_div)}")
+                == F.expr(f"neighbor div {int(group_div)}")
+            )
         guard2 = (F.col("rad").cast("double") * guard_size) ** 2
         cand = cand.select(
             "id", "neighbor", (dx * dx + dy * dy).alias("d2"),

@@ -1,0 +1,133 @@
+"""Connected components (large-star/small-star) + same-draw kNN guards."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _uf_components(n_nodes, edges):
+    """Reference union-find over python ints: {node: min-id component}."""
+    parent = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        union(a, b)
+    return {v: find(v) for v in nodes}
+
+
+def _spark_components(spark, edges):
+    from esda_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges] or [(0, 0)],
+        "focal long, neighbor long",
+    )
+    out = connected_components(df)
+    return {r.id: r.component for r in out.collect()}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 60, 40), (2, 200, 150),
+                                      (3, 300, 600), (4, 50, 8)])
+def test_components_match_union_find(spark, seed, n, m):
+    rng = np.random.default_rng(seed)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(m, 2))
+             if a != b]
+    want = _uf_components(n, edges)
+    got = _spark_components(spark, edges)
+    assert got == want
+
+
+def test_components_long_chain(spark):
+    """Path graph: diameter = n-1, so min-label propagation would need
+    ~n rounds; the star contraction must finish inside its default
+    iteration budget (O(log n))."""
+    n = 3000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    got = _spark_components(spark, edges)
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_components_deterministic_and_empty(spark):
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, size=(90, 2))
+             if a != b]
+    assert _spark_components(spark, edges) == _spark_components(spark, edges)
+    from esda_spark.operators.components import connected_components
+
+    empty = spark.createDataFrame([], "focal long, neighbor long")
+    assert connected_components(empty).count() == 0
+
+
+def test_components_self_loops_and_duplicates(spark):
+    edges = [(5, 5), (1, 2), (2, 1), (1, 2), (8, 9)]
+    got = _spark_components(spark, edges)
+    assert got == {1: 1, 2: 1, 8: 8, 9: 8}
+
+
+def test_knn_join_group_div_respects_groups(spark):
+    """A focal whose nearest cross-group point is far closer than its
+    own group's nearest must still match within its group (the fused-
+    ADBSCAN same-draw guarantee, ADVICE r3)."""
+    from esda_spark.operators.spatial_join import knn_join
+
+    id_base = 100
+    # group 0: focal 0 at x=0; its own group's only target sits at x=50.
+    # group 1 (ids 100+) has a translated target at x=1 — nearer, wrong
+    # group.
+    left = spark.createDataFrame(
+        [(0, 0.0, 0.0), (100, 200.0, 0.0)], "id long, x double, y double"
+    )
+    right = spark.createDataFrame(
+        [(1, 50.0, 0.0), (101, 1.0, 0.0), (102, 201.0, 0.0)],
+        "id long, x double, y double",
+    )
+    res = knn_join(left, right, k=1, cell_size=2.0, group_div=id_base)
+    got = {r.left_id: r.right_id for r in res.collect()}
+    assert got == {0: 1, 100: 102}
+    # without the constraint, focal 0 grabs the cross-group point
+    res2 = knn_join(left, right, k=1, cell_size=2.0)
+    got2 = {r.left_id: r.right_id for r in res2.collect()}
+    assert got2[0] == 101
+
+
+def test_adbscan_rejects_unsafe_ids(spark):
+    from esda_spark.operators.adbscan import adbscan
+
+    pts = spark.createDataFrame(
+        [(2**61, 0.0, 0.0), (1, 1.0, 1.0)], "id long, x double, y double"
+    )
+    with pytest.raises(ValueError, match="2\\^62"):
+        adbscan(pts, eps=1.0, min_samples=2, reps=4)
+
+
+def test_correlogram_knn_coincident_points(spark):
+    """Duplicate coordinates: the d2=0 neighbor must rank FIRST (it was
+    demoted to last by NULL inverse-distance weights, ADVICE r3)."""
+    from esda_spark.operators.correlogram import correlogram
+
+    rows = [(0, 0.0, 0.0, 1.0), (1, 0.0, 0.0, 5.0), (2, 3.0, 0.0, 2.0),
+            (3, 6.0, 0.0, 8.0), (4, 6.0, 4.0, 3.0), (5, 10.0, 4.0, 4.0)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double, z double")
+    out = correlogram(pts, "z", supports=[1], statistic="moran",
+                      distance_type="knn")
+    # expected knn(1) edges (ties broken by neighbor id): 0->1 (d=0),
+    # 1->0 (d=0), 2->0 (three-way tie at d=3), 3->2, 4->3 (tie), 5->4
+    z = np.array([1.0, 5.0, 2.0, 8.0, 3.0, 4.0])
+    nbr = {0: 1, 1: 0, 2: 0, 3: 2, 4: 3, 5: 4}
+    zc = z - z.mean()
+    num = sum(zc[i] * zc[j] for i, j in nbr.items())
+    want = (len(z) / len(nbr)) * num / (zc**2).sum()
+    assert out[0]["I"] == pytest.approx(want, rel=1e-12)
