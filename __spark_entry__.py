@@ -797,6 +797,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", "rank"
         )
 
+    def ann_topk_distributed(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return sim.cosine_topk_distributed(emb, q, k=10, n_buckets=8).select(
+            "query_id", "vec_id", "rank"
+        )
+
     def ann_lsh_topk(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         q = emb.where(F.col("vec_id") < 10).select(
@@ -893,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "spatial_median_rate": spatial_median_rate_q,
         # --- end of the driver's 50-query scoring window ---
+        "ann_topk_distributed": ann_topk_distributed,
         "gamma_ops": gamma_c,
         "lee_global": lee_global,
         "pip_grid": pip_grid,
@@ -2169,5 +2179,7 @@ SELECT query_id, vec_id, rank FROM (
   FROM q JOIN embeddings e ON e.vec_id <> q.query_id
 ) WHERE rank <= 10
 """
+    # the distributed variant computes the identical result set
+    sql["ann_topk_distributed"] = sql["ann_topk"]
 
     return {k: _normalize_neg_zero(v) for k, v in sql.items()}

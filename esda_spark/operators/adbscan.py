@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from esda_spark.operators.components import connected_components
@@ -114,7 +114,6 @@ def adbscan(
     component decodes to min-id within the draw, and 1-NN tie-break
     order on composite ids equals id order.
     """
-    spark = points.sparkSession
     agg = points.agg(
         F.max("id").alias("mi"), F.min("id").alias("lo"),
         F.min("x").alias("x0"), F.max("x").alias("x1"),
@@ -173,47 +172,77 @@ def adbscan(
         .cache()
     )
 
-    # centroid-based label remap to draw 0: ONE aggregate over all
-    # draws (original coordinates recovered via the id join)
-    cent_rows = (
+    # centroid-based label remap to draw 0, ENTIRELY in Spark: cluster
+    # labels are min composite ids, hence globally unique across draws,
+    # so one groupBy(lbl) over original coordinates yields every draw's
+    # centroids and a knn_join(k=1) of non-base centroids onto draw-0
+    # centroids is the exact nearest-base matching — O(n) grid work
+    # instead of the former driver-side collect + per-label nearest
+    # loop, which was O(L_r * L_0) per draw and pinned the driver for
+    # >15 min at 1M points (~50k tiny clusters per draw).  knn_join's
+    # (d2, neighbor) ranking resolves distance ties to the LOWEST base
+    # label deterministically.
+    cent = (
         ext.where(F.col("lbl") != NOISE)
         .join(base_pts, "id")
-        .groupBy("rep", "lbl")
-        .agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
-        .collect()
+        .groupBy("lbl")
+        .agg(F.avg("x").alias("x"), F.avg("y").alias("y"))
+        .cache()
     )
-    cents: dict[int, dict[int, tuple]] = {r: {} for r in range(reps)}
-    for row in cent_rows:
-        cents[row.rep][row.lbl] = (row.cx, row.cy)
-    base = cents.get(0, {})
-    remap_rows = [(0, lbl, lbl) for lbl in base]
-    for r in range(1, reps):
-        for lbl, (cx, cy) in cents.get(r, {}).items():
-            if base:
-                dst = min(
-                    base,
-                    key=lambda b: (base[b][0] - cx) ** 2
-                    + (base[b][1] - cy) ** 2,
-                )
-            else:
-                dst = lbl
-            remap_rows.append((r, lbl, dst))
-    # decode remap targets to original sample ids (draw-0 composites
-    # have r = 0, so dst % id_base == dst already; keep for clarity)
-    remap_df = spark.createDataFrame(
-        [(r, l, d % id_base) for r, l, d in remap_rows]
-        or [(0, NOISE, NOISE)],
-        "rep long, lbl long, mapped long",
+    base_c = cent.where(F.expr(f"lbl div {id_base}") == 0)
+    nonb_c = cent.where(F.expr(f"lbl div {id_base}") > 0)
+    counts = cent.agg(
+        F.sum(F.when(F.expr(f"lbl div {id_base}") == 0, 1).otherwise(0))
+        .alias("nb"),
+        F.sum(F.when(F.expr(f"lbl div {id_base}") > 0, 1).otherwise(0))
+        .alias("nn"),
+    ).collect()[0]
+    n_base, n_nonb = int(counts.nb or 0), int(counts.nn or 0)
+    if 0 < n_base * n_nonb <= int(2e8):
+        # small centroid tables (the common case): one broadcast
+        # crossJoin + per-label window beats a full kNN grid build;
+        # (d2, blbl) ordering = knn_join's (d2, neighbor) tie-break
+        j = nonb_c.crossJoin(F.broadcast(
+            base_c.select(F.col("lbl").alias("blbl"),
+                          F.col("x").alias("bx"), F.col("y").alias("by"))
+        )).select(
+            "lbl", "blbl",
+            ((F.col("x") - F.col("bx")) ** 2
+             + (F.col("y") - F.col("by")) ** 2).alias("d2"),
+        )
+        mwin = Window.partitionBy("lbl").orderBy("d2", "blbl")
+        matched = (
+            j.withColumn("rk", F.row_number().over(mwin))
+            .where(F.col("rk") == 1)
+            .select(F.col("lbl").alias("left_id"),
+                    F.col("blbl").alias("right_id"))
+        )
+    else:
+        matched = knn_join(
+            nonb_c.select(F.col("lbl").alias("id"), "x", "y"),
+            base_c.select(F.col("lbl").alias("id"), "x", "y"),
+            k=1, cell_size=cs,
+        )
+    remap_df = (
+        matched.select(F.col("left_id").alias("lbl"),
+                       F.col("right_id").alias("mapped"))
+        .unionByName(base_c.select("lbl", F.col("lbl").alias("mapped")))
+        .localCheckpoint(eager=True)  # settle before cent unpersists
     )
+    # fallbacks mirror the old driver-side logic: NOISE stays NOISE
+    # (-1 % id_base = -1) and, when draw 0 produced no clusters at all,
+    # every label decodes to its own draw's sample id
     counted = (
-        ext.join(F.broadcast(remap_df), ["rep", "lbl"], "left")
-        .select("id", F.coalesce("mapped", F.lit(NOISE)).alias("lbl"))
+        ext.join(remap_df, "lbl", "left")
+        .select(
+            "id",
+            F.coalesce("mapped", F.col("lbl") % id_base).alias("lbl"),
+        )
         .groupBy("id", "lbl").count()
     )
+    cent.unpersist()
     lab.unpersist()
     labeled.unpersist()
-    from pyspark.sql import Window
-
     win = Window.partitionBy("id").orderBy(F.desc("count"), F.asc("lbl"))
     winner = (
         counted.withColumn("rk", F.row_number().over(win))

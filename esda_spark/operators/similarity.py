@@ -135,6 +135,81 @@ def cosine_topk(
     )
 
 
+def cosine_topk_distributed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """(query_id, vec_id, rank, sim): exact cosine top-k with BOTH
+    sides distributed — the large-q posture :func:`cosine_topk` (which
+    collects + broadcasts the query matrix, ~1 GB at q=1e6 dim=128)
+    explicitly does not cover.
+
+    Shape: the corpus hashes into ``n_buckets`` buckets; queries
+    replicate once per bucket through a broadcast crossJoin of the tiny
+    bucket-id range (shuffle volume q * n_buckets rows — choose
+    n_buckets ~ cores so replication stays ~O(cluster), while each
+    cogroup task's BLAS is (q, corpus/n_buckets)); each (corpus bucket,
+    query block) cogroup emits its local top-(k+1) per query and a
+    final per-query window merges bucket winners (n_buckets * q * (k+1)
+    rows).  No driver-side collect of either side at any point; total
+    flops identical to the broadcast path.  Results are exactly
+    :func:`cosine_topk`'s (same float64 kernel, same (sim desc, vec_id)
+    tie-break).
+    """
+    spark = embeddings.sparkSession
+    nb = int(n_buckets or spark.sparkContext.defaultParallelism)
+    corp = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("cb"),
+    )
+    buckets = spark.range(nb).select(F.col("id").cast("int").alias("cb"))
+    qrep = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).crossJoin(F.broadcast(buckets))
+
+    kk_keep = k + 1  # survive the self-match drop below
+
+    def score(key, cpdf: "pd.DataFrame", qpdf: "pd.DataFrame"):
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+        C = np.vstack(cpdf["cv"].to_numpy()).astype(np.float64)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        sims = Q @ C.T
+        vec_ids = cpdf["vec_id"].to_numpy(np.int64)
+        qids = qpdf["query_id"].to_numpy(np.int64)
+        kk = min(kk_keep, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            cols = part[qi]
+            out_q.extend([qids[qi]] * len(cols))
+            out_v.extend(vec_ids[cols])
+            out_s.extend(sims[qi, cols])
+        return pd.DataFrame(
+            {"query_id": out_q, "vec_id": out_v, "sim": out_s}
+        )
+
+    scored = (
+        corp.groupBy("cb")
+        .cogroup(qrep.groupBy("cb"))
+        .applyInPandas(score, schema="query_id long, vec_id long, sim double")
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "sim")
+    )
+
+
 def hyperplane_signatures(
     embeddings: DataFrame,
     dim: int,

@@ -493,3 +493,31 @@ def test_ivf_topk_recall(spark):
     assert r4 >= 0.85, (r1, r4)
     emb.unpersist()
     exact.unpersist()
+
+
+def test_cosine_topk_distributed_parity(spark):
+    """cosine_topk_distributed (both sides distributed, cogroup BLAS)
+    must reproduce the broadcast path exactly: same (query, vec, rank)
+    triples, sims equal to float64 round-trip."""
+    from esda_spark.operators.similarity import (
+        cosine_topk, cosine_topk_distributed,
+    )
+
+    rng = np.random.default_rng(23)
+    n, dim = 500, 24
+    vecs = rng.normal(size=(n, dim))
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = {(r.query_id, r.rank): (r.vec_id, r.sim)
+         for r in cosine_topk(emb, q, k=7).collect()}
+    b = {(r.query_id, r.rank): (r.vec_id, r.sim)
+         for r in cosine_topk_distributed(emb, q, k=7, n_buckets=5)
+         .collect()}
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key][0] == b[key][0], key
+        assert a[key][1] == pytest.approx(b[key][1], rel=1e-12)
