@@ -332,6 +332,10 @@ def _knn_rounds_multi(
              ).alias("_world"),
             guard2.alias("_g2"),
         )
+        # top-k via sort-window, NOT groupBy collect_list/array_sort: a
+        # hash aggregate materializes a per-group array and re-sorts it
+        # per row group, which measured 2x SLOWER at 1M points (63.6 s
+        # vs 32.8 s) — the streaming sort is the scale winner
         win = Window.partitionBy("id").orderBy("d2", "neighbor")
         topk = (
             cand.withColumn("rk", F.row_number().over(win))
