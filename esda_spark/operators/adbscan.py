@@ -91,11 +91,21 @@ def adbscan(
     seed: int = 42,
     pct_thr: float = 0.9,
     cell_size: float | None = None,
+    checkpoint_dir: str | None = None,
+    fingerprint: str = "",
 ) -> DataFrame:
     """(id, lbls, pct): majority-vote cluster labels + agreement share.
 
     Points whose winning label wins less than ``pct_thr`` of draws are
     set to noise, mirroring the reference's `pct_thr` gate.
+
+    ``checkpoint_dir``: when set, the two expensive phases — the fused
+    DBSCAN labels and the 1-NN extension — materialize through
+    ``plans.checkpoint.stage`` with manifested fingerprints, so a
+    killed multi-hour run resumes from the last completed phase
+    (``fingerprint`` should identify the input data; all ADBSCAN
+    parameters are chained into each stage's fingerprint
+    automatically).
 
     All ``reps`` draws execute as ONE fused job chain, not a serial
     Python loop of per-draw jobs: draw r is encoded as the spatial
@@ -146,8 +156,21 @@ def adbscan(
             "y",
         )
     )
-    lab = dbscan(thin_all, eps, ms, cell_size=cell_size).withColumnRenamed(
-        "cluster", "lbl"
+    def _stage(name, fp, build):
+        if checkpoint_dir is None:
+            return build()
+        from esda_spark.plans.checkpoint import stage
+
+        return stage(points.sparkSession, f"{checkpoint_dir}/{name}",
+                     fp, build)
+
+    fp0 = (f"{fingerprint}|adbscan eps={eps} ms={min_samples} "
+           f"pct={pct_exact} reps={reps} seed={seed} cs={cell_size} "
+           f"idb={id_base}")
+    lab = _stage(
+        "labels", f"{fp0}|dbscan",
+        lambda: dbscan(thin_all, eps, ms, cell_size=cell_size)
+        .withColumnRenamed("cluster", "lbl"),
     ).cache()
     labeled = thin_all.join(lab, "id").cache()
     # 1-NN extension of every draw's labels to every point, one join
@@ -156,9 +179,10 @@ def adbscan(
         (F.col("x") + F.col("_r") * offset).alias("x"),
         "y",
     )
-    ext = (
-        knn_join(all_rep, labeled.select("id", "x", "y"), k=1,
-                 cell_size=cs, group_div=id_base)
+    ext = _stage(
+        "ext", f"{fp0}|dbscan|knn1_ext",
+        lambda: knn_join(all_rep, labeled.select("id", "x", "y"), k=1,
+                         cell_size=cs, group_div=id_base)
         .select(F.col("left_id").alias("cid"),
                 F.col("right_id").alias("src"))
         .join(lab.withColumnRenamed("id", "src"), "src")
@@ -168,9 +192,8 @@ def adbscan(
             (F.col("cid") % id_base).alias("id"),
             F.expr(f"cid div {id_base}").alias("rep"),
             "lbl",
-        )
-        .cache()
-    )
+        ),
+    ).cache()
 
     # centroid-based label remap to draw 0, ENTIRELY in Spark: cluster
     # labels are min composite ids, hence globally unique across draws,

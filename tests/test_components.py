@@ -131,3 +131,55 @@ def test_correlogram_knn_coincident_points(spark):
     num = sum(zc[i] * zc[j] for i, j in nbr.items())
     want = (len(z) / len(nbr)) * num / (zc**2).sum()
     assert out[0]["I"] == pytest.approx(want, rel=1e-12)
+
+
+def test_adbscan_checkpoint_resume(spark, tmp_path):
+    """ADBSCAN with checkpoint_dir: a run killed after the labels stage
+    must resume without re-running DBSCAN, and checkpointed output must
+    equal the direct run."""
+    import esda_spark.operators.adbscan as A
+    from esda_spark.plans.checkpoint import read_manifest
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for cx, cy in [(0.0, 0.0), (30.0, 30.0)]:
+        for i in range(60):
+            rows.append((len(rows), cx + rng.normal(), cy + rng.normal()))
+    pts = spark.createDataFrame(rows, "id long, x double, y double").cache()
+    ck = str(tmp_path / "adb")
+
+    direct = {r.id: (r.lbls, r.pct) for r in A.adbscan(
+        pts, eps=2.5, min_samples=5, pct_exact=0.5, reps=4, seed=9,
+        pct_thr=0.5).collect()}
+
+    # first checkpointed run writes both stage manifests
+    out1 = {r.id: (r.lbls, r.pct) for r in A.adbscan(
+        pts, eps=2.5, min_samples=5, pct_exact=0.5, reps=4, seed=9,
+        pct_thr=0.5, checkpoint_dir=ck, fingerprint="fx").collect()}
+    m_lab = read_manifest(f"{ck}/labels")
+    m_ext = read_manifest(f"{ck}/ext")
+    assert m_lab and m_lab["rows"] > 0 and m_ext and m_ext["rows"] > 0
+    assert out1 == direct
+
+    # resume: dbscan must NOT run again (labels stage fingerprint hits)
+    calls = {"n": 0}
+    orig = A.dbscan
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    A.dbscan = counting
+    try:
+        out2 = {r.id: (r.lbls, r.pct) for r in A.adbscan(
+            pts, eps=2.5, min_samples=5, pct_exact=0.5, reps=4, seed=9,
+            pct_thr=0.5, checkpoint_dir=ck, fingerprint="fx").collect()}
+    finally:
+        A.dbscan = orig
+    assert calls["n"] == 0
+    assert out2 == direct
+    # changing a parameter invalidates downstream stages
+    A.adbscan(pts, eps=2.5, min_samples=5, pct_exact=0.5, reps=4,
+              seed=10, pct_thr=0.5, checkpoint_dir=ck,
+              fingerprint="fx").count()
+    assert read_manifest(f"{ck}/labels")["fingerprint"] != m_lab["fingerprint"]
