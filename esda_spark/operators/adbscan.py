@@ -75,11 +75,19 @@ def dbscan(
         .join(labels.select("id"), "id", "left_anti")
     )
     assigned = labels.unionByName(border)
-    return (
+    out = (
         points.select("id")
         .join(assigned, "id", "left")
         .withColumn("cluster", F.coalesce("cluster", F.lit(NOISE)))
+        # settle the result, then free this build's cached inputs —
+        # repeated dbscan calls in one session otherwise accumulate
+        # edge/label blocks (the band edge set alone is ~50x the points)
+        .localCheckpoint(eager=True)
     )
+    edges.unpersist()
+    core.unpersist()
+    labels.unpersist()
+    return out
 
 
 def adbscan(
@@ -263,9 +271,14 @@ def adbscan(
         )
         .groupBy("id", "lbl").count()
     )
+    # settle the vote counts, then free every cached frame of this run
+    # (ext alone is n x reps rows; repeated ensembles in one session
+    # would otherwise accumulate blocks)
+    counted = counted.localCheckpoint(eager=True)
     cent.unpersist()
     lab.unpersist()
     labeled.unpersist()
+    ext.unpersist()
     win = Window.partitionBy("id").orderBy(F.desc("count"), F.asc("lbl"))
     winner = (
         counted.withColumn("rk", F.row_number().over(win))
