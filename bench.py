@@ -490,6 +490,38 @@ def scale_smoke_dedup(n: int) -> None:
     spark.stop()
 
 
+def scale_smoke_cc(n: int) -> None:
+    """Connected-components worst case: one n-node PATH graph (diameter
+    n-1).  Min-label propagation needs ~n shuffle rounds here — the
+    round-3 1M-ADBSCAN stall; large-star/small-star must settle it in
+    O(log n) rounds.  Verifies the single-component result exactly."""
+    from esda_spark.operators.components import connected_components
+    from esda_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark("scale-smoke-cc", parallelism=CPUS,
+                      shuffle_partitions=max(2 * CPUS, 16))
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("focal"), (F.col("id") + 1).alias("neighbor")
+    ).cache()
+    edges.count()
+    t0 = time.perf_counter()
+    comp = connected_components(edges, "focal", "neighbor")
+    rows = comp.count()
+    bad = comp.where(F.col("component") != 0).count()
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "scale smoke (n-node path graph -> connected "
+                  "components via large-star/small-star; diameter n-1 "
+                  "would need ~n propagation rounds)",
+        "n_nodes": n, "rows": rows, "wrong_component": bad,
+        "cc_sec": round(dt, 1),
+        "nodes_per_sec": round(n / dt, 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
 def scale_smoke_adbscan(n: int) -> None:
     """Fused-ensemble ADBSCAN at arbitrary synthetic size: reps draws
     execute as one job chain (rep-translation encoding), so the wall
@@ -529,6 +561,11 @@ def scale_smoke_adbscan(n: int) -> None:
 
 
 def main() -> None:
+    if "--scale-smoke-cc" in sys.argv:
+        i = sys.argv.index("--scale-smoke-cc")
+        scale_smoke_cc(int(sys.argv[i + 1]) if len(sys.argv) > i + 1
+                       else 1_000_000)
+        return
     if "--scale-smoke-adbscan" in sys.argv:
         i = sys.argv.index("--scale-smoke-adbscan")
         scale_smoke_adbscan(int(sys.argv[i + 1]) if len(sys.argv) > i + 1
