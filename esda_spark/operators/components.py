@@ -32,12 +32,14 @@ def _large_star(e: DataFrame) -> DataFrame:
     m = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
         "u", F.least("u", "mv").alias("m")
     )
+    # no distinct here: duplicates are harmless to small-star's
+    # groupBy-min and its final distinct restores set semantics — one
+    # shuffle per round instead of two
     return (
         sym.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
