@@ -211,7 +211,9 @@ def _density_levels(
     )
     labeled = (
         fine.join(assign, ["_fx", "_fy"]).select("id", "x", "y", "lvl")
-        .localCheckpoint(eager=True)  # one materialization of the chain
+        # one materialization of the chain (lazy: the level-collect
+        # below triggers it)
+        .localCheckpoint(eager=False)
     )
     lvl_values = sorted(
         r["lvl"] for r in labeled.select("lvl").distinct().collect()
@@ -287,10 +289,11 @@ def _knn_rounds_multi(
     if pids_before is None:
         pids_before = _pids()
     guard_size = F.lit(cell_size) / F.pow(F.lit(2.0), F.col("lvl"))
-    # materialize the focal union once: every round's candidate join and
-    # the remaining-focal anti-join read these blocks instead of
+    # checkpoint the focal union once (lazily — round 1's count
+    # materializes it): every round's candidate join and the
+    # remaining-focal anti-join read these blocks instead of
     # recomputing the per-level cell assignment from the source
-    unsettled = pts.localCheckpoint(eager=True)
+    unsettled = pts.localCheckpoint(eager=False)
     results: list[DataFrame] = []
     min_rad = 1
     force_world = False
@@ -335,7 +338,12 @@ def _knn_rounds_multi(
         # top-k via sort-window, NOT groupBy collect_list/array_sort: a
         # hash aggregate materializes a per-group array and re-sorts it
         # per row group, which measured 2x SLOWER at 1M points (63.6 s
-        # vs 32.8 s) — the streaming sort is the scale winner
+        # vs 32.8 s) — the streaming sort is the scale winner.
+        # Ring-round checkpoints are LAZY: the end-of-round n_rem count
+        # materializes topk and unsettled in ONE job instead of three
+        # (the world round keeps an eager topk — it breaks before any
+        # count, and a lazy block materializing after the cleanup's
+        # pid snapshot would escape the block sweep)
         win = Window.partitionBy("id").orderBy("d2", "neighbor")
         topk = (
             cand.withColumn("rk", F.row_number().over(win))
@@ -348,7 +356,7 @@ def _knn_rounds_multi(
                     & (F.max("d2").over(Window.partitionBy("id")) < F.col("_g2"))
                 ),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=world_covered)
         edge_cols = [
             F.col("id").alias("focal"),
             F.col("neighbor"),
@@ -370,7 +378,7 @@ def _knn_rounds_multi(
                 "id", "left_anti",
             )
             .withColumn("rad", F.col("rad") * 2)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_rem = unsettled.count()
         if n_rem == 0:
