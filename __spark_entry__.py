@@ -768,6 +768,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return res.select("id", "Is", "q", "p_sim")
 
+    def lisa_pipeline_resume(spark, sf):
+        """Rows-only contract for the checkpoint-resume story (VERDICT
+        r4 item 7): run lisa_pipeline cold into a fresh checkpoint dir,
+        plant a sentinel key in each stage manifest, re-run, and report
+        per stage whether the manifest survived (resumed=true means the
+        stage was NOT recomputed).  One row per stage + a result row."""
+        import json
+        import os
+        import shutil
+        import tempfile
+
+        from esda_spark.plans.checkpoint import MANIFEST, read_manifest
+        from esda_spark.plans.pipeline import lisa_pipeline
+
+        pts = _points(spark, sf)
+        ck = tempfile.mkdtemp(prefix="lisa_resume_")
+        try:
+            args = dict(value_col="y_cont", k=8, permutations=99, seed=7,
+                        checkpoint_dir=ck, fingerprint="entry-resume")
+            cold = lisa_pipeline(pts, **args)
+            n_cold = cold.count()
+            for st in ("edges", "lisa"):
+                p = os.path.join(ck, st, MANIFEST)
+                with open(p) as f:
+                    m = json.load(f)
+                m["probe"] = 1  # overwritten iff the stage recomputes
+                with open(p, "w") as f:
+                    json.dump(m, f)
+            warm = lisa_pipeline(pts, **args)
+            n_warm = warm.count()
+            rows = []
+            for st in ("edges", "lisa"):
+                m = read_manifest(os.path.join(ck, st)) or {}
+                rows.append((st, int(m.get("rows", -1)),
+                             bool(m.get("probe") == 1)))
+            rows.append(("result", int(n_warm), bool(n_warm == n_cold)))
+            return spark.createDataFrame(
+                rows, "stage string, rows long, resumed boolean"
+            )
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
+
     def g_local_star_sim(spark, sf):
         res = lstats.g_local(
             _points(spark, sf), _edges(spark, sf), "y_cont",
@@ -836,7 +878,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "points_geocode": points_geocode,
         "knn_edges": knn_edges_q,
-        "weights_rowstd": weights_rowstd,
+        # round-5 rotation (VERDICT r4 item 2): ann_topk_distributed —
+        # the one oracle-backed query with no driver-scored history —
+        # takes weights_rowstd's slot; the displaced transform is
+        # exercised by every LISA/global-stat oracle in the window and
+        # stays CI-swept like all oracle keys.
+        "ann_topk_distributed": ann_topk_distributed,
         "moran_global": moran_global,
         "geary_global": geary_global,
         "getis_g_global": getis_g_global,
@@ -902,7 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "spatial_median_rate": spatial_median_rate_q,
         # --- end of the driver's 50-query scoring window ---
-        "ann_topk_distributed": ann_topk_distributed,
+        "weights_rowstd": weights_rowstd,
         "gamma_ops": gamma_c,
         "lee_global": lee_global,
         "pip_grid": pip_grid,
@@ -918,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_alist": silhouette_q,
         # non-oracle (seeded permutation / ANN / iterative) — rows-only
         "lisa_full": lisa_full,
+        "lisa_pipeline_resume": lisa_pipeline_resume,
         "path_silhouette": path_silhouette_q,
         "prominence": prominence_q,
         "cluster_boundaries": cluster_boundaries_q,

@@ -240,6 +240,22 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     times["_ann_lsh_recall_clustered"] = round(
         recall_at_k(capprox, cexact, 10), 4
     )
+
+    # IVF on the same clustered fixture (VERDICT r4 item 3): coarse
+    # k-means quantizer + inverted lists; recall at nprobe 1 and 4
+    # scored against the same exact top-10
+    from esda_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    centers = kmeans_fit(cemb, k=64, max_iters=8, seed=7)
+    timed("ann_ivf_topk_clustered",
+          lambda: ivf_topk(cemb, cq, centers, k=10, nprobe=4).count())
+    for nprobe in (1, 4):
+        iapprox = ivf_topk(cemb, cq, centers, k=10, nprobe=nprobe).cache()
+        iapprox.count()
+        times[f"_ann_ivf_recall_nprobe{nprobe}"] = round(
+            recall_at_k(iapprox, cexact, 10), 4
+        )
+        iapprox.unpersist()
     for df in (cexact, capprox, cemb):
         df.unpersist()
 
@@ -506,7 +522,11 @@ def scale_smoke_cc(n: int) -> None:
     ).cache()
     edges.count()
     t0 = time.perf_counter()
-    comp = connected_components(edges, "focal", "neighbor")
+    # incore_max_edges=0: this smoke certifies the DISTRIBUTED star
+    # contraction (the small-graph driver fast path would soak up
+    # anything below 2M edges)
+    comp = connected_components(edges, "focal", "neighbor",
+                                incore_max_edges=0)
     rows = comp.count()
     bad = comp.where(F.col("component") != 0).count()
     dt = time.perf_counter() - t0
@@ -630,6 +650,9 @@ def main() -> None:
     times.pop("_pip_rows")
     lsh_recall = times.pop("_ann_lsh_recall_at_10")
     clustered_recall = times.pop("_ann_lsh_recall_clustered", None)
+    ivf_recalls = {
+        n: times.pop(f"_ann_ivf_recall_nprobe{n}", None) for n in (1, 4)
+    }
     total = round(sum(v for v in times.values()), 3)
     out = {
         "metric": "esda_spark headline suite (LISA+global stats, spatial "
@@ -646,6 +669,9 @@ def main() -> None:
     }
     if clustered_recall is not None:
         out["ann_lsh_recall_at_10_clustered"] = clustered_recall
+    for n, r in ivf_recalls.items():
+        if r is not None:
+            out[f"ann_ivf_recall_at_10_nprobe{n}"] = r
     print(json.dumps(out))
     spark.stop()
 

@@ -229,7 +229,14 @@ def adbscan(
         .alias("nn"),
     ).collect()[0]
     n_base, n_nonb = int(counts.nb or 0), int(counts.nn or 0)
-    if 0 < n_base * n_nonb <= int(2e8):
+    if n_base == 0 or n_nonb == 0:
+        # nothing to match (reps=1, or draw 0 / the other draws produced
+        # no clusters): an empty knn_join would still burn its doubling
+        # rounds finding nothing — emit the empty matching directly
+        matched = nonb_c.limit(0).select(
+            F.col("lbl").alias("left_id"), F.col("lbl").alias("right_id")
+        )
+    elif n_base * n_nonb <= int(2e8):
         # small centroid tables (the common case): one broadcast
         # crossJoin + per-label window beats a full kNN grid build;
         # (d2, blbl) ordering = knn_join's (d2, neighbor) tie-break

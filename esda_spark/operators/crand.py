@@ -345,13 +345,31 @@ def _crand_tiled(
 
     Sites hash into ``tiles`` random tiles; each site's null draws come
     from the tile's other values (a uniform random sample of the global
-    distribution) instead of all n-1.  One cogroup shuffle on tile —
-    no n-sized broadcast, no driver collect of the value vector; each
-    tile task runs the identical ``crand_partition`` kernel on a
-    tile-local dense relabeling.  Global constants (the (n-1)/sum(z^2)
-    scaling) stay GLOBAL so statistics remain comparable across tiles.
+    distribution) instead of all n-1.  No n-sized broadcast, no driver
+    collect of the value vector; each tile task runs the identical
+    ``crand_partition`` kernel on a tile-local dense relabeling.
+    Global constants (the (n-1)/sum(z^2) scaling) stay GLOBAL so
+    statistics remain comparable across tiles.
+
+    The tile id is a pure function of the site id, so the whole base
+    side is assembled WITHOUT joins and the neighborhood data pays
+    exactly ONE exchange: edges (tile computed from ``focal``),
+    observed values and self-weights union into one long-form table,
+    repartition by tile once, and a single (tile, focal) aggregate
+    produces (wlist, observed, self_weight) rows that flow into the
+    cogroup on the very same tile partitioning.  Tile-local dense
+    indices are assigned inside the kernel (searchsorted against the
+    tile pool's sorted ids) instead of a window, so the value table is
+    also shuffled exactly once — by the cogroup itself.  (The
+    round-3/4 shape gathered by focal and re-shuffled the full wlist
+    table for the cogroup — a doubled edge-sized shuffle, the dominant
+    cost at 1e9 sites.)
     """
-    from pyspark.sql import Window
+    spark = values.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def tile_of(col):
+        return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(tiles))
 
     zcols = [c for c in values.columns if c != "id"]
     zfirst = zcols[0]
@@ -363,46 +381,46 @@ def _crand_tiled(
     if scaling is None:
         scaling = (n - 1) / float(agg["ss"])
 
-    tiled = values.withColumn(
-        "tile", F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(tiles))
-    ).withColumn(
-        "lid",
-        F.row_number().over(Window.partitionBy("tile").orderBy("id")) - 1,
-    ).localCheckpoint(eager=False)
-
-    others = edges.where(F.col("focal") != F.col("neighbor"))
-    selfw = (
-        edges.where(F.col("focal") == F.col("neighbor"))
-        .select(F.col("focal").alias("id"), F.col("weight").alias("self_weight"))
+    dnull = F.lit(None).cast("double")
+    lnull = F.lit(None).cast("long")
+    edge_rows = edges.select(
+        tile_of(F.col("focal")).alias("tile"),
+        F.col("focal").alias("id"),
+        F.when(F.col("focal") != F.col("neighbor"), F.col("neighbor"))
+        .alias("neighbor"),
+        F.col("weight"),
+        dnull.alias("observed"),
+        # self-loop edges carry their weight in the self_weight slot
+        F.when(F.col("focal") == F.col("neighbor"), F.col("weight"))
+        .alias("self_weight"),
     )
-    gathered = (
-        others.groupBy("focal")
+    obs_rows = observed.select(
+        tile_of(F.col("id")).alias("tile"), F.col("id"),
+        lnull.alias("neighbor"), dnull.alias("weight"),
+        F.col("observed"), dnull.alias("self_weight"),
+    )
+    # THE single neighborhood exchange: the (tile, focal) gather runs
+    # inside the tile partitioning and the cogroup reuses it verbatim
+    base = (
+        edge_rows.unionByName(obs_rows)
+        .repartition(nparts, "tile")
+        .groupBy("tile", "id")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(neighbor, weight))),"
+                "transform(array_sort(collect_list(CASE WHEN neighbor IS"
+                " NOT NULL THEN struct(neighbor, weight) END)),"
                 " s -> s.weight)"
-            ).alias("wlist")
+            ).alias("wlist"),
+            F.max("observed").alias("observed"),
+            F.coalesce(F.max("self_weight"), F.lit(0.0)).alias("self_weight"),
         )
-        .withColumnRenamed("focal", "id")
+        # sites come from `observed` (edges whose focal was never scored
+        # drop out, islands with no edges stay in)
+        .where(F.col("observed").isNotNull())
     )
-    base = (
-        observed.join(gathered, "id", "left")
-        .join(selfw, "id", "left")
-        .join(tiled.select("id", "tile", "lid"), "id")
-        .select(
-            "tile", "lid", "id", "observed",
-            F.coalesce("wlist", F.array()).alias("wlist"),
-            F.coalesce("self_weight", F.lit(0.0)).alias("self_weight"),
-        )
-    )
-    # alias to fresh exprIds: base and pool both read from tiled, and
-    # cogroup on the same attributes trips the ambiguous-self-join check
-    pool = tiled.select(
-        F.col("tile").alias("_t"), F.col("lid").alias("_l"),
-        *[F.col(c).alias(f"_z_{c}") for c in zcols],
-    ).select(
-        F.col("_t").alias("tile"), F.col("_l").alias("lid"),
-        *[F.col(f"_z_{c}").alias(c) for c in zcols],
+    pool = values.select(
+        tile_of(F.col("id")).alias("tile"), F.col("id").alias("pid"),
+        *zcols,
     )
 
     out_schema = "id long, p_sim double"
@@ -423,7 +441,8 @@ def _crand_tiled(
             return pd.DataFrame(
                 {c.split(" ")[0]: [] for c in out_schema.split(", ")}
             )
-        pool_sorted = pool_pdf.sort_values("lid")
+        pool_sorted = pool_pdf.sort_values("pid")
+        pool_ids = pool_sorted["pid"].to_numpy(np.int64)
         z = pool_sorted[zcols].to_numpy(np.float64)
         if z.shape[1] == 1:
             z = z[:, 0]
@@ -440,7 +459,15 @@ def _crand_tiled(
             max_card, n_t, kw["permutations"],
             seed ^ (0x9E3779B9 * (tile + 1) & 0x7FFFFFFF),
         )
-        lids = base_pdf["lid"].to_numpy(np.int64)
+        # tile-local dense index = rank of id within the tile pool
+        # (formerly a window over the values table; in-kernel it costs
+        # one sort of the tile's ids and no extra shuffle)
+        base_ids = base_pdf["id"].to_numpy(np.int64)
+        lids = np.searchsorted(pool_ids, base_ids)
+        if (lids >= n_t).any() or not (pool_ids[lids] == base_ids).all():
+            raise ValueError(
+                f"tile {tile}: observed contains ids absent from values"
+            )
         obs = base_pdf["observed"].to_numpy(np.float64)
         selfws = base_pdf["self_weight"].to_numpy(np.float64)
         p_out, sims_out, e_sim, v_sim = crand_partition(

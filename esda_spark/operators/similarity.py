@@ -39,6 +39,37 @@ def _norm(a):
     )
 
 
+def _topk_with_ties(sims: np.ndarray, vec_ids: np.ndarray, kk: int) -> list:
+    """Per-row column indices of the top-``kk`` by (sim desc, vec_id asc).
+
+    Plain ``argpartition`` keeps an arbitrary subset when more than kk
+    entries tie exactly at the cutoff sim, so the lowest-vec_id tie the
+    final global window would select can be dropped — and in the
+    bucketed kernel that makes results depend on ``n_buckets``.  Rows
+    with no tie at the cutoff (the generic case) stay on the pure
+    argpartition path; only tied rows pay the vec_id-ordered widening.
+    """
+    m, n = sims.shape
+    if n <= kk:
+        return [np.arange(n)] * m
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    kept = np.take_along_axis(sims, part, axis=1)
+    thresh = kept.min(axis=1)
+    tied_total = (sims == thresh[:, None]).sum(axis=1)
+    tied_kept = (kept == thresh[:, None]).sum(axis=1)
+    out = list(part)
+    for qi in np.nonzero(tied_total > tied_kept)[0]:
+        row = sims[qi]
+        cols = part[qi]
+        greater = cols[row[cols] > thresh[qi]]
+        tied_all = np.nonzero(row == thresh[qi])[0]
+        order = np.argsort(vec_ids[tied_all], kind="stable")
+        out[qi] = np.concatenate(
+            [greater, tied_all[order[: kk - len(greater)]]]
+        )
+    return out
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -110,7 +141,7 @@ def cosine_topk(
             sims = Qn_ @ C.T                     # (q, rows)
             vec_ids = pdf["vid"].to_numpy(np.int64)
             kk = min(k + 1, sims.shape[1])       # +1 to survive self-drop
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            part = _topk_with_ties(sims, vec_ids, kk)
             out_q, out_v, out_s = [], [], []
             for qi in range(len(qids_)):
                 cols = part[qi]
@@ -133,6 +164,37 @@ def cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "sim")
     )
+
+
+def _blas_topk_scorer(kk_keep: int):
+    """Cogroup kernel shared by :func:`cosine_topk_distributed` and
+    :func:`ivf_topk`'s cogroup posture: one BLAS (queries x corpus
+    slice) score matrix per group, local top-``kk_keep`` per query with
+    the (sim desc, vec_id asc) tie-break the final window applies."""
+
+    def score(key, cpdf: "pd.DataFrame", qpdf: "pd.DataFrame"):
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
+        C = np.vstack(cpdf["cv"].to_numpy()).astype(np.float64)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        sims = Q @ C.T
+        vec_ids = cpdf["vec_id"].to_numpy(np.int64)
+        qids = qpdf["query_id"].to_numpy(np.int64)
+        kk = min(kk_keep, sims.shape[1])
+        part = _topk_with_ties(sims, vec_ids, kk)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            cols = part[qi]
+            out_q.extend([qids[qi]] * len(cols))
+            out_v.extend(vec_ids[cols])
+            out_s.extend(sims[qi, cols])
+        return pd.DataFrame(
+            {"query_id": out_q, "vec_id": out_v, "sim": out_s}
+        )
+
+    return score
 
 
 def cosine_topk_distributed(
@@ -163,6 +225,7 @@ def cosine_topk_distributed(
     """
     spark = embeddings.sparkSession
     nb = int(n_buckets or spark.sparkContext.defaultParallelism)
+    score = _blas_topk_scorer(k + 1)  # +1 survives the self-match drop
     corp = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int").alias("cb"),
@@ -171,30 +234,6 @@ def cosine_topk_distributed(
     qrep = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).crossJoin(F.broadcast(buckets))
-
-    kk_keep = k + 1  # survive the self-match drop below
-
-    def score(key, cpdf: "pd.DataFrame", qpdf: "pd.DataFrame"):
-        if len(cpdf) == 0 or len(qpdf) == 0:
-            return pd.DataFrame({"query_id": [], "vec_id": [], "sim": []})
-        C = np.vstack(cpdf["cv"].to_numpy()).astype(np.float64)
-        C /= np.linalg.norm(C, axis=1, keepdims=True)
-        Q = np.vstack(qpdf["qv"].to_numpy()).astype(np.float64)
-        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-        sims = Q @ C.T
-        vec_ids = cpdf["vec_id"].to_numpy(np.int64)
-        qids = qpdf["query_id"].to_numpy(np.int64)
-        kk = min(kk_keep, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(qids)):
-            cols = part[qi]
-            out_q.extend([qids[qi]] * len(cols))
-            out_v.extend(vec_ids[cols])
-            out_s.extend(sims[qi, cols])
-        return pd.DataFrame(
-            {"query_id": out_q, "vec_id": out_v, "sim": out_s}
-        )
 
     scored = (
         corp.groupBy("cb")
@@ -257,12 +296,25 @@ def hyperplane_signatures(
     )
 
 
+def auto_num_planes(n_corpus: int, target_occupancy: int = 25) -> int:
+    """Plane count giving ~``target_occupancy`` vectors per bucket
+    (n / 2^planes ≈ target): the knob the measured recall table in
+    BASELINE.md was built around (20k corpus -> 10 planes, 100k -> 12
+    — both ≥ 0.97 recall@10 clustered with 8 tables + multiprobe).
+    Clamped to [4, 30] so tiny corpora stay bucketed and the bucket id
+    fits comfortably in an int64."""
+    import math
+
+    raw = math.ceil(math.log2(max(n_corpus, 2) / float(target_occupancy)))
+    return int(min(max(raw, 4), 30))
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    num_planes: int = 12,
+    num_planes: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -283,9 +335,16 @@ def lsh_topk(
     candidate volume grows ~(1 + planes * p_neighbor_flip) while
     recall compounds across probes AND tables.  ``multiprobe=0``
     restores exact-bucket probing.
+
+    ``num_planes=None`` (default) sizes the signature from the corpus
+    count via :func:`auto_num_planes` (~25 vectors/bucket) — the
+    setting the measured recall table in BASELINE.md shows ≥ 0.9
+    recall@10 on clustered corpora without hand-tuning.
     """
     if multiprobe not in (0, 1):
         raise ValueError("multiprobe must be 0 or 1 (Hamming probe radius)")
+    if num_planes is None:
+        num_planes = auto_num_planes(embeddings.count())
     corpus_sig = hyperplane_signatures(
         embeddings, dim, num_planes, seed, id_col, vec_col, num_tables
     )
@@ -475,19 +534,31 @@ def kmeans_fit(
                     "n": cnt[nz],
                 })
 
-        rows = (
-            prepared.mapInPandas(
-                partial, schema="c long, s array<double>, n double"
-            )
-            .groupBy("c")
-            .agg(
+        partials = prepared.mapInPandas(
+            partial, schema="c long, s array<double>, n double"
+        )
+        if dim <= 256:
+            reduced = partials.groupBy("c").agg(
                 F.array(*[
                     F.sum(F.col("s")[i]).alias(f"_{i}") for i in range(dim)
                 ]).alias("s"),
                 F.sum("n").alias("n"),
             )
-            .collect()
-        )
+        else:
+            # wide embeddings: a dim-expression aggregate builds dim
+            # Catalyst sums (plan-construction and codegen blow up past
+            # ~1k dims) — reduce the per-center partials in one Arrow
+            # kernel instead (input rows: one per (partition, center))
+            def reduce_center(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                s = np.vstack(pdf["s"].to_numpy()).sum(axis=0)
+                return pd.DataFrame(
+                    {"c": [key[0]], "s": [s], "n": [float(pdf["n"].sum())]}
+                )
+
+            reduced = partials.groupBy("c").applyInPandas(
+                reduce_center, schema="c long, s array<double>, n double"
+            )
+        rows = reduced.collect()
         newC = C.copy()
         for r in rows:
             if r.n > 0:
@@ -512,18 +583,33 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    mode: str = "auto",
+    broadcast_max_probe_rows: int = 1_000_000,
 ) -> DataFrame:
     """(query_id, vec_id, rank, sim): IVF approximate top-k — the
     second ANN scale path next to :func:`lsh_topk`.
 
     The corpus is assigned once to its nearest k-means centroid (the
     inverted lists); each query probes its ``nprobe`` closest
-    centroids and scores ONLY those lists' members via the broadcast
-    join on list id.  Expected candidate volume ~ n * nprobe / k_lists
-    per query; both sides stay distributed (queries are a broadcast
-    fact of (q, nprobe) rows).  Skewed lists (dense regions) are
-    handled by AQE skew-join like any other hot key.
+    centroids and scores ONLY those lists' members.
+
+    mode="broadcast": probe rows (q * nprobe, with full query vectors)
+    broadcast-join the corpus on list id — lowest latency, bounded by
+    the broadcast size at millions of queries.
+    mode="cogroup": the large-q posture — probes stay distributed and
+    each inverted list cogroups with its probing queries (one BLAS per
+    list, local top-(k+1), final per-query window merge), exactly
+    :func:`cosine_topk_distributed`'s shape keyed by list id instead
+    of a hash bucket.  No collect or broadcast of either side.
+    mode="auto" (default) picks cogroup once q * nprobe exceeds
+    ``broadcast_max_probe_rows``.
+
+    Expected candidate volume ~ n * nprobe / k_lists per query either
+    way; skewed lists (dense regions) are handled by AQE skew-join
+    like any other hot key.
     """
+    if mode not in ("auto", "broadcast", "cogroup"):
+        raise ValueError(f"unknown ivf_topk mode {mode!r}")
     spark = embeddings.sparkSession
     Cn = centers / np.maximum(
         np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
@@ -571,16 +657,34 @@ def ivf_topk(
     ).mapInPandas(
         assign_queries, schema=f"query_id long, list_id long, qv {vec_t}"
     )
-    scored = (
-        F.broadcast(qprobes).join(corpus, "list_id")
-        .where(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id", "vec_id",
-            (_dot(F.col("qv"), F.col("cv"))
-             / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+    if mode == "auto":
+        q_count = queries.count()
+        mode = ("broadcast"
+                if q_count * nprobe <= broadcast_max_probe_rows
+                else "cogroup")
+    if mode == "broadcast":
+        scored = (
+            F.broadcast(qprobes).join(corpus, "list_id")
+            .where(F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id", "vec_id",
+                (_dot(F.col("qv"), F.col("cv"))
+                 / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+            )
+            .dropDuplicates(["query_id", "vec_id"])
         )
-        .dropDuplicates(["query_id", "vec_id"])
-    )
+    else:
+        # each corpus vector lives in exactly one list, so (query, vec)
+        # pairs are unique across the nprobe lists — no dedup needed
+        scored = (
+            corpus.groupBy("list_id")
+            .cogroup(qprobes.groupBy("list_id"))
+            .applyInPandas(
+                _blas_topk_scorer(k + 1),
+                schema="query_id long, vec_id long, sim double",
+            )
+            .where(F.col("query_id") != F.col("vec_id"))
+        )
     win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(win))

@@ -521,3 +521,97 @@ def test_cosine_topk_distributed_parity(spark):
     for key in a:
         assert a[key][0] == b[key][0], key
         assert a[key][1] == pytest.approx(b[key][1], rel=1e-12)
+
+
+def test_topk_duplicate_vector_ties(spark):
+    """Exact-tie robustness (ADVICE r4): with many duplicate corpus
+    vectors tying at the cutoff, every kernel must keep the
+    lowest-vec_id ties the final (sim desc, vec_id) window selects —
+    and the bucketed result must not depend on n_buckets."""
+    from esda_spark.operators.similarity import (
+        cosine_topk, cosine_topk_distributed,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(4, 16))
+    # 40 copies of each of 4 distinct vectors -> massive cutoff ties
+    vecs = np.repeat(base, 40, axis=0)
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.where(F.col("vec_id").isin([0, 40, 157])).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    want = {(r.query_id, r.rank): r.vec_id
+            for r in cosine_topk(emb, q, k=10, arrow=False).collect()}
+    got_arrow = {(r.query_id, r.rank): r.vec_id
+                 for r in cosine_topk(emb, q, k=10).collect()}
+    assert got_arrow == want
+    for nb in (1, 3, 7):
+        got = {(r.query_id, r.rank): r.vec_id
+               for r in cosine_topk_distributed(emb, q, k=10, n_buckets=nb)
+               .collect()}
+        assert got == want, nb
+
+
+def test_ivf_topk_cogroup_parity(spark):
+    """ivf_topk mode="cogroup" (large-q posture: probes never
+    broadcast) must match mode="broadcast" rank-for-rank."""
+    from esda_spark.operators.similarity import ivf_topk, kmeans_fit
+    from esda_spark.sources.embeddings import synthetic_embeddings
+
+    emb = synthetic_embeddings(
+        spark, 2000, dim=24, clusters=20, noise=0.35
+    ).cache()
+    emb.count()
+    centers = kmeans_fit(emb, k=16, max_iters=6, seed=5)
+    q = emb.where(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    a = {(r.query_id, r.rank): (r.vec_id, r.sim)
+         for r in ivf_topk(emb, q, centers, k=8, nprobe=3,
+                           mode="broadcast").collect()}
+    b = {(r.query_id, r.rank): (r.vec_id, r.sim)
+         for r in ivf_topk(emb, q, centers, k=8, nprobe=3,
+                           mode="cogroup").collect()}
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key][0] == b[key][0], key
+        assert a[key][1] == pytest.approx(b[key][1], rel=1e-9)
+    emb.unpersist()
+
+
+def test_kmeans_fit_wide_dim(spark):
+    """dim > 256 takes the Arrow partial-sum reduce (no dim-expression
+    aggregate); centers still unit-norm and usable."""
+    from esda_spark.operators.similarity import kmeans_fit
+    from esda_spark.sources.embeddings import synthetic_embeddings
+
+    emb = synthetic_embeddings(spark, 600, dim=300, clusters=6, noise=0.2)
+    centers = kmeans_fit(emb, k=6, max_iters=4, seed=11)
+    assert centers.shape == (6, 300)
+    assert np.allclose(np.linalg.norm(centers, axis=1), 1.0)
+
+
+def test_lsh_topk_auto_planes(spark):
+    """num_planes=None sizes the signature from the corpus count and
+    holds retrieval-grade recall on clustered data without tuning."""
+    from esda_spark.operators.similarity import (
+        auto_num_planes, cosine_topk, lsh_topk, recall_at_k,
+    )
+    from esda_spark.sources.embeddings import synthetic_embeddings
+
+    assert auto_num_planes(20_000) == 10
+    assert auto_num_planes(100_000) == 12
+    assert auto_num_planes(10) == 4
+    emb = synthetic_embeddings(
+        spark, 3000, dim=32, clusters=60, noise=0.35
+    ).cache()
+    q = emb.where(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, q, k=10).cache()
+    exact.count()
+    r = recall_at_k(
+        lsh_topk(emb, q, dim=32, k=10, num_tables=8), exact, 10)
+    assert r >= 0.9, r
+    emb.unpersist()
+    exact.unpersist()
