@@ -174,6 +174,36 @@ def vec_permutations(max_card: int, n: int, k: int, seed: int) -> np.ndarray:
     return out
 
 
+def gather_neighborhoods(edges: DataFrame) -> DataFrame:
+    """(id, wlist, self_weight): per-site neighbor weights sorted by
+    neighbor id, plus the self-loop weight — the broadcast crand path's
+    gather, exposed so a fit issuing several crand calls over the SAME
+    weights (``moran_local_partial``: q+2 components) can pay the edge
+    shuffle once: ``gather_neighborhoods(w).localCheckpoint(eager=True)``
+    then pass via ``conditional_randomization(gathered=...)``."""
+    others = edges.where(F.col("focal") != F.col("neighbor"))
+    selfw = (
+        edges.where(F.col("focal") == F.col("neighbor"))
+        .select(F.col("focal").alias("id"),
+                F.col("weight").alias("self_weight"))
+    )
+    g = (
+        others.groupBy("focal")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(neighbor, weight))),"
+                " s -> s.weight)"
+            ).alias("wlist")
+        )
+        .withColumnRenamed("focal", "id")
+    )
+    return g.join(selfw, "id", "full").select(
+        "id",
+        F.coalesce("wlist", F.array()).alias("wlist"),
+        F.coalesce("self_weight", F.lit(0.0)).alias("self_weight"),
+    )
+
+
 def _moment_cols(res: dict, obs: np.ndarray, e_sim, v_sim) -> None:
     from esda_spark.functions.mathx import norm_sf
 
@@ -202,6 +232,7 @@ def conditional_randomization(
     moments: bool = False,
     mode: str = "auto",
     tiles: int = 64,
+    gathered: DataFrame | None = None,
 ) -> DataFrame:
     """Per-site pseudo p-values under conditional permutation.
 
@@ -225,6 +256,11 @@ def conditional_randomization(
               against the reference), tiled at or above it — the
               regime where the broadcast path's O(n) driver collect
               becomes the binding constraint.
+    gathered: optional precomputed :func:`gather_neighborhoods` output
+              (id, wlist, self_weight) — lets a fit that issues several
+              crand calls over the same weights pay the edge gather
+              shuffle once (checkpoint it first).  Broadcast mode only;
+              tiled mode re-derives its tile-partitioned gather.
     Returns (id, p_sim [, moment cols] [, sims array<double>]).
     """
     if mode == "auto":
@@ -256,40 +292,71 @@ def conditional_randomization(
         else:
             scaling = (n - 1) / float((z_np[:, 0] ** 2).sum())
 
-    others = edges.where(F.col("focal") != F.col("neighbor"))
-    selfw = (
-        edges.where(F.col("focal") == F.col("neighbor"))
-        .select(F.col("focal").alias("id"), F.col("weight").alias("self_weight"))
-    )
-    max_card = (
-        others.groupBy("focal").count().agg(F.max("count")).collect()[0][0] or 1
-    )
+    parallelism = max(sc.defaultParallelism, 8)
+    if gathered is None:
+        max_card = (
+            edges.where(F.col("focal") != F.col("neighbor"))
+            .groupBy("focal").count()
+            .agg(F.max("count")).collect()[0][0] or 1
+        )
+        # join-free base (same shape as the tiled path): edges and
+        # observed union into one long-form table; ONE explicit
+        # repartition both gathers and spreads the CPU-bound kernel
+        # (REPARTITION_BY_NUM also pins the partition count against
+        # AQE coalescing, which would otherwise shrink a small gather
+        # to a handful of kernel tasks) — the former shape paid the
+        # gather exchange AND a second full repartition of the wlist
+        dnull = F.lit(None).cast("double")
+        edge_rows = edges.select(
+            F.col("focal").alias("id"),
+            F.when(F.col("focal") != F.col("neighbor"), F.col("neighbor"))
+            .alias("neighbor"),
+            F.col("weight"),
+            dnull.alias("observed"),
+            F.when(F.col("focal") == F.col("neighbor"), F.col("weight"))
+            .alias("self_weight"),
+        )
+        obs_rows = observed.select(
+            "id", F.lit(None).cast("long").alias("neighbor"),
+            dnull.alias("weight"), F.col("observed"),
+            dnull.alias("self_weight"),
+        )
+        base = (
+            edge_rows.unionByName(obs_rows)
+            .repartition(parallelism, "id")
+            .groupBy("id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN neighbor"
+                    " IS NOT NULL THEN struct(neighbor, weight) END)),"
+                    " s -> s.weight)"
+                ).alias("wlist"),
+                F.max("observed").alias("observed"),
+                F.coalesce(F.max("self_weight"), F.lit(0.0))
+                .alias("self_weight"),
+            )
+            .where(F.col("observed").isNotNull())
+            .select("id", "observed", "wlist", "self_weight")
+        )
+    else:
+        # precomputed (and typically checkpointed) gather: derive the
+        # cardinality bound from it instead of re-scanning the edges
+        max_card = (
+            gathered.agg(F.max(F.size("wlist"))).collect()[0][0] or 1
+        )
+        base = (
+            observed.join(gathered, "id", "left")
+            .select(
+                "id", "observed",
+                F.coalesce("wlist", F.array()).alias("wlist"),
+                F.coalesce("self_weight", F.lit(0.0)).alias("self_weight"),
+            )
+            .repartition(parallelism)  # spread the CPU-bound kernel
+        )
     perm_table = vec_permutations(int(max_card), n, permutations, seed)
 
     z_bc = sc.broadcast(z_np)
     perm_bc = sc.broadcast(perm_table)
-
-    gathered = (
-        others.groupBy("focal")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(neighbor, weight))),"
-                " s -> s.weight)"
-            ).alias("wlist")
-        )
-        .withColumnRenamed("focal", "id")
-    )
-    parallelism = max(sc.defaultParallelism, 8)
-    base = (
-        observed.join(gathered, "id", "left")
-        .join(selfw, "id", "left")
-        .select(
-            "id", "observed",
-            F.coalesce("wlist", F.array()).alias("wlist"),
-            F.coalesce("self_weight", F.lit(0.0)).alias("self_weight"),
-        )
-        .repartition(parallelism)  # the kernel is CPU-bound: spread it
-    )
 
     out_schema = "id long, p_sim double"
     if moments:

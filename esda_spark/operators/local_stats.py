@@ -802,6 +802,12 @@ def moran_local_partial(
             f"lmo_{j}", F.col(f"left_{j}") * F.col("wy") * F.lit(n - 1.0)
         )
     if permutations:
+        # one edge gather shared by all q+2 component calls (the same
+        # W backs every component; re-gathering per call multiplied the
+        # dominant shuffle by the component count)
+        from esda_spark.operators.crand import gather_neighborhoods
+
+        gathered = gather_neighborhoods(w).localCheckpoint(eager=True)
         for j in range(q):
             vals = base.select(
                 "id", F.col(f"left_{j}").alias("zx"), F.col("yc").alias("zy")
@@ -812,7 +818,7 @@ def moran_local_partial(
             pj = conditional_randomization(
                 vals, w, obs, "left_times_lag",
                 permutations=permutations, seed=seed, scaling=1.0,
-                alternative=alternative,
+                alternative=alternative, gathered=gathered,
             ).withColumnRenamed("p_sim", f"p_sim_{j}")
             base = base.join(pj, "id", "left")
     keep_cols = (
