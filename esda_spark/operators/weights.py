@@ -49,6 +49,13 @@ from esda_spark.plans.cells import (
 
 EDGE_COLS = ("focal", "neighbor", "weight")
 
+# Level-0 ring-candidate rows below which skewed inputs skip the
+# quadtree refinement entirely: one round-1 settlement over <= this
+# many (focal, candidate) pairs is cheaper than the density pass it
+# replaces.  Matches the 2e8-pair broadcast bound used by the ADBSCAN
+# centroid remap.
+_FLAT_CANDIDATE_BUDGET = int(2e8)
+
 
 def _estimate_cell_size(points: DataFrame, k: int) -> float:
     """Pick a cell size so one cell holds ~k points on average: the
@@ -135,7 +142,7 @@ def _density_levels(
     at or under the threshold (a focal cell with no source points at
     some ancestor level counts as 0 there).
     """
-    from esda_spark.plans.cells import cell_xy
+    from esda_spark.plans.cells import cell_xy, unpack_cell
 
     src = density_src.select("x", "y")
     counts0 = (
@@ -143,8 +150,55 @@ def _density_levels(
         .groupBy("_c").count()
         .cache()  # #cells rows; reused by the hot-cell broadcast below
     )
-    max0 = counts0.agg(F.max("count")).collect()[0][0] or 0
-    if int(max0) <= density_threshold:
+    stats0 = counts0.agg(
+        F.max("count").alias("mx"), F.sum("count").alias("tot")
+    ).collect()[0]
+    max0 = int(stats0.mx or 0)
+    n_src = int(stats0.tot or 0)
+    if max0 <= density_threshold:
+        return [(0, focals.select("id", "x", "y"))]
+    # Skew is present, but refining only pays when the level-0 ring
+    # candidate volume is actually large: the quadtree pass costs a
+    # metadata shuffle plus extra settlement frames in every round,
+    # which dominates small skewed inputs (a 15k-point city table paid
+    # ~2x build time for levels round-1 handles outright).  Cheap upper
+    # bound first (every ring cell at the global max); if inconclusive,
+    # the EXACT ring volume from counts0 — a metadata-scale (cells,
+    # not points) ring self-join.
+    same_side = focals is density_src
+    n_foc = n_src if same_side else focals.count()
+    if 9 * n_foc * max0 > _FLAT_CANDIDATE_BUDGET:
+        cx, cy = unpack_cell(F.col("_c"))
+        cgrid = counts0.select(
+            cx.alias("_cx"), cy.alias("_cy"), F.col("count")
+        )
+        if same_side:
+            fgrid = cgrid
+        else:
+            fcx, fcy = cell_xy(F.col("x"), F.col("y"), cell_size)
+            fgrid = (
+                focals.select(fcx.alias("_cx"), fcy.alias("_cy"))
+                .groupBy("_cx", "_cy").count()
+            )
+        ring = fgrid.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(-1, 1), dx ->"
+                    " transform(sequence(-1, 1), dy ->"
+                    " struct(_cx + dx as _cx, _cy + dy as _cy))))"
+                )
+            ).alias("_r"),
+            F.col("count").alias("_cf"),
+        ).select("_r._cx", "_r._cy", "_cf")
+        volume = (
+            ring.join(cgrid, ["_cx", "_cy"])
+            .agg(F.sum(F.col("_cf") * F.col("count")))
+            .collect()[0][0]
+            or 0
+        )
+    else:
+        volume = 9 * n_foc * max0
+    if volume <= _FLAT_CANDIDATE_BUDGET:
         return [(0, focals.select("id", "x", "y"))]
 
     hot0 = F.broadcast(

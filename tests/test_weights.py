@@ -110,3 +110,33 @@ def test_polygon_contiguity_rotated_grid(spark):
 
     assert remap(got_rook) == remap(want_rook)
     assert remap(got_queen) == remap(want_queen)
+
+
+def test_knn_flat_gate_parity_on_skewed_points(spark, monkeypatch):
+    # skewed-but-small input: one hot cluster (hot cell > threshold)
+    # plus a sparse field; the flat gate must pick a single level AND
+    # produce the exact edge set the quadtree path produces
+    from esda_spark.operators import weights as W
+
+    rng = np.random.default_rng(11)
+    hot = rng.normal(loc=(5.0, 5.0), scale=0.05, size=(400, 2))
+    sparse = rng.uniform(0, 100, size=(200, 2))
+    xy = np.vstack([hot, sparse])
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(xy)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+
+    cs = W._estimate_cell_size(pts.select("id", "x", "y"), 8)
+    levels = W._density_levels(
+        pts.select("id", "x", "y"), pts.select("id", "x", "y"), cs, 32, 12
+    )
+    assert [lv for lv, _ in levels] == [0], "flat gate should trigger"
+
+    flat = knn_edges(pts, k=8, keep_d2=True)
+    monkeypatch.setattr(W, "_FLAT_CANDIDATE_BUDGET", 0)
+    quad = W.knn_edges(pts, k=8, keep_d2=True)
+    assert (
+        flat.exceptAll(quad).count() + quad.exceptAll(flat).count() == 0
+    )
+    want = {tuple(e) for e in onp.brute_knn_edges(xy, 8)}
+    got = {(r.focal, r.neighbor) for r in flat.collect()}
+    assert got == want
