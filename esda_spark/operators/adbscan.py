@@ -21,8 +21,10 @@ Here every step is a distributed dataflow:
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -39,6 +41,7 @@ def dbscan(
     min_samples: int,
     cell_size: float | None = None,
     max_iterations: int = 40,
+    dense_contraction: bool | None = None,
 ) -> DataFrame:
     """(id, cluster): distributed DBSCAN; cluster = min point id in the
     component, NOISE (-1) for noise points.
@@ -46,15 +49,262 @@ def dbscan(
     Core-core components run through large-star/small-star contraction
     (``components.connected_components``), which converges in O(log n)
     rounds instead of the O(component-diameter) min-label propagation
-    used through round 3 — the fix that unblocks 1M+ ADBSCAN runs whose
-    eps-graphs form long filament clusters."""
+    used through round 3.
+
+    ``dense_contraction`` (default on; env ESDA_SPARK_DBSCAN_DENSE=0
+    disables) selects the exact grid path (`_dbscan_grid`): the eps
+    neighborhood graph of a density hot spot is a near-clique whose
+    edge count grows QUADRATICALLY in local density — at 1M synthetic
+    points one 100k draw materializes 32M band edges, and every
+    downstream pass (degree, core semi-joins, components, border) pays
+    for them.  Gridding at eps/2 makes every cell with >= min_samples
+    points an all-core clique (cell diagonal = eps/sqrt(2) < eps) that
+    contracts to ONE component node, so dense-dense point pairs are
+    never enumerated: per-cell candidate COUNTS aggregate map-side,
+    and dense-dense connectivity is one early-exit existence kernel
+    per adjacent cell pair.  Published structure: Gunawan (2013) /
+    Gan & Tao SIGMOD 2015 exact grid DBSCAN, re-expressed as Spark
+    dataflow.  ``cell_size`` only affects the flat path (the grid is
+    eps/2 by construction)."""
+    if dense_contraction is None:
+        dense_contraction = (
+            os.environ.get("ESDA_SPARK_DBSCAN_DENSE", "1") != "0"
+        )
+    if dense_contraction:
+        return _dbscan_grid(points, eps, min_samples, max_iterations)
+    return _dbscan_flat(points, eps, min_samples, cell_size,
+                        max_iterations)
+
+
+def _dbscan_grid(
+    points: DataFrame,
+    eps: float,
+    min_samples: int,
+    max_iterations: int = 40,
+) -> DataFrame:
+    """Exact grid DBSCAN: identical output to `_dbscan_flat`, near-
+    linear in hot-spot density instead of quadratic (see `dbscan`)."""
+    from esda_spark.plans.cells import expand_ring, unpack_cell, with_cell
+
+    g = float(eps) / 2.0
+    eps2 = float(eps) ** 2
+    pts = with_cell(points.select("id", "x", "y"), g)
+    counts = pts.groupBy("cell").count()
+    dense_cells = counts.where(
+        F.col("count") >= int(min_samples)
+    ).select("cell")
+    pts_f = (
+        pts.join(dense_cells.withColumn("_dense", F.lit(True)),
+                 "cell", "left")
+        .withColumn("_dense", F.coalesce("_dense", F.lit(False)))
+        .cache()
+    )
+    dense_pts = pts_f.where(F.col("_dense"))
+    sparse_pts = pts_f.where(~F.col("_dense"))
+    # supernode id per dense cell = min member id, so component minima
+    # stay point ids and labels match the flat path exactly
+    super_ = dense_pts.groupBy("cell").agg(F.min("id").alias("snode"))
+
+    # ONE ring join gives everything point-level the algorithm needs.
+    # radius 2 at g = eps/2 covers the eps disk (|dx| <= eps = 2g =>
+    # |dcell| <= 2); the per-(focal, cell) aggregate collapses the
+    # skew-heavy sparse-x-dense candidate volume map-side — dense-cell
+    # neighbors contribute a COUNT, never rows.  Sparse-cell neighbor
+    # ids are collected per cell (< min_samples of them by definition).
+    tgt = pts_f.select(
+        F.col("id").alias("neighbor"), F.col("x").alias("nx"),
+        F.col("y").alias("ny"), "cell", F.col("_dense").alias("n_dense"),
+    )
+    dx = F.col("x") - F.col("nx")
+    dy = F.col("y") - F.col("ny")
+    agg = (
+        expand_ring(sparse_pts, 2)
+        .join(tgt, "cell")
+        .where(F.col("id") != F.col("neighbor"))
+        .where(dx * dx + dy * dy <= F.lit(eps2))
+        .groupBy("id", "cell")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("n_dense").alias("n_dense"),
+            F.collect_list(
+                F.when(~F.col("n_dense"), F.col("neighbor"))
+            ).alias("sn"),
+        )
+        .cache()
+    )
+    degree = agg.groupBy("id").agg(F.sum("cnt").alias("deg"))
+    sparse_core = degree.where(
+        F.col("deg") >= int(min_samples) - 1
+    ).select("id").cache()
+    sparse_pairs = agg.where(~F.col("n_dense")).select(
+        "id", F.explode("sn").alias("neighbor")
+    )
+    dense_touch = agg.where(F.col("n_dense")).select("id", "cell")
+
+    # component edges: sparse-core <-> sparse-core, sparse-core <->
+    # dense supernode, dense <-> dense (existence-checked per adjacent
+    # cell pair — the only place dense point sets meet, via an
+    # early-exit Arrow kernel, never a pair enumeration in the plan)
+    e1 = (
+        sparse_pairs
+        .join(sparse_core, "id", "left_semi")
+        .join(sparse_core.withColumnRenamed("id", "neighbor"),
+              "neighbor", "left_semi")
+        .select(F.col("id").alias("u"), F.col("neighbor").alias("v"))
+    )
+    e2 = (
+        dense_touch.join(sparse_core, "id", "left_semi")
+        .join(super_, "cell")
+        .select(F.col("id").alias("u"), F.col("snode").alias("v"))
+    )
+    dcx, dcy = unpack_cell(F.col("cell"))
+    dc = dense_cells.select(
+        F.col("cell").alias("ca"), dcx.alias("cx"), dcy.alias("cy")
+    )
+    pairs = (
+        expand_ring(dc, 2, out="cb")
+        .join(dense_cells.withColumnRenamed("cell", "cb"), "cb",
+              "left_semi")
+        .where(F.col("cb") > F.col("ca"))
+        .join(super_.select(F.col("cell").alias("ca"),
+                            F.col("snode").alias("ua")), "ca")
+        .join(super_.select(F.col("cell").alias("cb"),
+                            F.col("snode").alias("ub")), "cb")
+        .select("ca", "cb", "ua", "ub")
+    )
+    mem = dense_pts.select("cell", "x", "y")
+    pair_pts = (
+        pairs.join(mem.withColumnRenamed("cell", "ca"), "ca")
+        .select("ca", "cb", "ua", "ub", F.lit(0).alias("side"), "x", "y")
+        .unionByName(
+            pairs.join(mem.withColumnRenamed("cell", "cb"), "cb")
+            .select("ca", "cb", "ua", "ub", F.lit(1).alias("side"),
+                    "x", "y")
+        )
+    )
+
+    def _pair_connected(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                              "v": pd.Series(dtype="int64")})
+        a = pdf[pdf["side"] == 0]
+        b = pdf[pdf["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ax = a["x"].to_numpy(); ay = a["y"].to_numpy()
+        bx = b["x"].to_numpy(); by = b["y"].to_numpy()
+        # bbox prune: a point farther than eps from the other side's
+        # bounding box cannot participate in a crossing pair
+        ddx = np.maximum.reduce([bx.min() - ax, ax - bx.max(),
+                                 np.zeros_like(ax)])
+        ddy = np.maximum.reduce([by.min() - ay, ay - by.max(),
+                                 np.zeros_like(ay)])
+        keep = ddx * ddx + ddy * ddy <= eps2
+        ax, ay = ax[keep], ay[keep]
+        if ax.size == 0:
+            return empty
+        ddx = np.maximum.reduce([ax.min() - bx, bx - ax.max(),
+                                 np.zeros_like(bx)])
+        ddy = np.maximum.reduce([ay.min() - by, by - ay.max(),
+                                 np.zeros_like(by)])
+        keep = ddx * ddx + ddy * ddy <= eps2
+        bx, by = bx[keep], by[keep]
+        if bx.size == 0:
+            return empty
+        # chunked existence scan — adjacent dense Gaussian cells hit on
+        # the first block; the full |A|x|B| cost only arises for cell
+        # pairs that are NOT connected yet survive the bbox prune
+        step = max(1, 262_144 // max(bx.size, 1))
+        for i in range(0, ax.size, step):
+            d2 = (
+                (ax[i:i + step, None] - bx[None, :]) ** 2
+                + (ay[i:i + step, None] - by[None, :]) ** 2
+            )
+            if (d2 <= eps2).any():
+                return pd.DataFrame(
+                    {"u": [int(pdf["ua"].iloc[0])],
+                     "v": [int(pdf["ub"].iloc[0])]}
+                )
+        return empty
+
+    e3 = pair_pts.groupBy("ca", "cb").applyInPandas(
+        _pair_connected, "u long, v long"
+    )
+    comp = connected_components(
+        e1.unionByName(e2).unionByName(e3), "u", "v",
+        max_iterations=max_iterations,
+    ).cache()
+
+    cell_cluster = (
+        super_.join(comp.withColumnRenamed("id", "snode"), "snode", "left")
+        .select("cell",
+                F.coalesce("component", F.col("snode")).alias("cluster"))
+    ).cache()
+    dense_labels = (
+        dense_pts.select("id", "cell").join(cell_cluster, "cell")
+        .select("id", "cluster")
+    )
+    sparse_core_labels = (
+        sparse_core.join(comp, "id", "left")
+        .select("id",
+                F.coalesce("component", F.col("id")).alias("cluster"))
+    ).cache()
+    # border points: non-core, labelled by the minimum cluster among
+    # their core neighbors (identical to the flat path's min-ncl rule;
+    # every dense-cell neighbor is core, sparse neighbors only if core)
+    border_sparse = (
+        sparse_pairs.join(
+            sparse_core_labels.withColumnRenamed("id", "neighbor")
+            .withColumnRenamed("cluster", "ncl"), "neighbor")
+        .select("id", "ncl")
+    )
+    border_dense = (
+        dense_touch.join(cell_cluster, "cell")
+        .select("id", F.col("cluster").alias("ncl"))
+    )
+    border = (
+        border_sparse.unionByName(border_dense)
+        .join(sparse_core, "id", "left_anti")
+        .groupBy("id").agg(F.min("ncl").alias("cluster"))
+    )
+    assigned = (
+        dense_labels
+        .unionByName(sparse_core_labels)
+        .unionByName(border)
+    )
+    out = (
+        points.select("id")
+        .join(assigned, "id", "left")
+        .withColumn("cluster", F.coalesce("cluster", F.lit(NOISE)))
+        .localCheckpoint(eager=True)
+    )
+    for c in (pts_f, agg, sparse_core, comp, cell_cluster,
+              sparse_core_labels):
+        c.unpersist()
+    return out
+
+
+def _dbscan_flat(
+    points: DataFrame,
+    eps: float,
+    min_samples: int,
+    cell_size: float | None = None,
+    max_iterations: int = 40,
+) -> DataFrame:
+    """Band-edge materializing path (pre-round-5): exact, but edge
+    count grows quadratically inside density hot spots."""
     edges = distance_band_edges(
         points, threshold=eps, cell_size=cell_size or eps
     ).cache()
     degree = edges.groupBy("focal").count()
-    core = degree.where(F.col("count") >= min_samples - 1).select(
-        F.col("focal").alias("id")
-    ).cache()
+    if min_samples <= 1:
+        # sklearn semantics: the eps-ball always holds the point itself,
+        # so min_samples=1 makes EVERY point core (edge-less isolated
+        # points included — they are absent from the degree table)
+        core = points.select("id").cache()
+    else:
+        core = degree.where(F.col("count") >= min_samples - 1).select(
+            F.col("focal").alias("id")
+        ).cache()
     cc_edges = (
         edges.join(core.withColumnRenamed("id", "focal"), "focal", "left_semi")
         .join(core.withColumnRenamed("id", "neighbor"), "neighbor", "left_semi")

@@ -36,6 +36,7 @@ the per-focal ranking partitions by point id (uniform), not by cell.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -52,9 +53,11 @@ EDGE_COLS = ("focal", "neighbor", "weight")
 # Level-0 ring-candidate rows below which skewed inputs skip the
 # quadtree refinement entirely: one round-1 settlement over <= this
 # many (focal, candidate) pairs is cheaper than the density pass it
-# replaces.  Matches the 2e8-pair broadcast bound used by the ADBSCAN
-# centroid remap.
-_FLAT_CANDIDATE_BUDGET = int(2e8)
+# replaces.  Env ESDA_SPARK_FLAT_RING_BUDGET overrides (0 disables the
+# flat gate so every skewed input refines, as before round 5).
+_FLAT_CANDIDATE_BUDGET = int(
+    float(os.environ.get("ESDA_SPARK_FLAT_RING_BUDGET", 2e8))
+)
 
 
 def _estimate_cell_size(points: DataFrame, k: int) -> float:
