@@ -439,8 +439,14 @@ def adbscan(
     )
     ext = _stage(
         "ext", f"{fp0}|dbscan|knn1_ext",
+        # cell_size=None: the 1-NN targets are a pct_exact sample, so
+        # the right grid scale is the TARGET density (mean labeled
+        # spacing), not eps — eps-cells leave sparse-background focals
+        # doubling through many ring rounds before they ever see a
+        # labeled point (measured 419 -> 217 s cold / 193 -> 102 s warm
+        # at 1M x 8 draws, together with the k=1 min-struct aggregate)
         lambda: knn_join(all_rep, labeled.select("id", "x", "y"), k=1,
-                         cell_size=cs, group_div=id_base)
+                         cell_size=None, group_div=id_base)
         .select(F.col("left_id").alias("cid"),
                 F.col("right_id").alias("src"))
         .join(lab.withColumnRenamed("id", "src"), "src")
@@ -509,7 +515,7 @@ def adbscan(
         matched = knn_join(
             nonb_c.select(F.col("lbl").alias("id"), "x", "y"),
             base_c.select(F.col("lbl").alias("id"), "x", "y"),
-            k=1, cell_size=cs,
+            k=1, cell_size=None,  # centroid density, not eps
         )
     remap_df = (
         matched.select(F.col("left_id").alias("lbl"),

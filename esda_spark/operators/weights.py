@@ -396,24 +396,48 @@ def _knn_rounds_multi(
         # hash aggregate materializes a per-group array and re-sorts it
         # per row group, which measured 2x SLOWER at 1M points (63.6 s
         # vs 32.8 s) — the streaming sort is the scale winner.
+        # EXCEPT k=1: min(struct(d2, neighbor)) is the same (d2,
+        # neighbor) lexicographic pick as the row_number ordering but
+        # partial-aggregates MAP-SIDE, so the shuffle carries one row
+        # per focal instead of the full candidate volume.  The fused
+        # ADBSCAN 1-NN extension (8M focals x ~100-300 ring candidates
+        # each) shuffled ~1e9 rows into the window sort; the aggregate
+        # collapses that before the exchange (419 s -> see PLANS.md).
         # Ring-round checkpoints are LAZY: the end-of-round n_rem count
         # materializes topk and unsettled in ONE job instead of three
         # (the world round keeps an eager topk — it breaks before any
         # count, and a lazy block materializing after the cleanup's
         # pid snapshot would escape the block sweep)
-        win = Window.partitionBy("id").orderBy("d2", "neighbor")
-        topk = (
-            cand.withColumn("rk", F.row_number().over(win))
-            .where(F.col("rk") <= k)
-            .withColumn(
-                "_settled",
-                F.col("_world")
-                | (
-                    (F.max("rk").over(Window.partitionBy("id")) >= k)
-                    & (F.max("d2").over(Window.partitionBy("id")) < F.col("_g2"))
-                ),
-            )
-        ).localCheckpoint(eager=world_covered)
+        if k == 1:
+            topk = (
+                cand.groupBy("id").agg(
+                    F.min(F.struct("d2", "neighbor")).alias("_m"),
+                    F.first("_world").alias("_world"),
+                    F.first("_g2").alias("_g2"),
+                )
+                .select(
+                    "id",
+                    F.col("_m.neighbor").alias("neighbor"),
+                    F.col("_m.d2").alias("d2"),
+                    (F.col("_world")
+                     | (F.col("_m.d2") < F.col("_g2"))).alias("_settled"),
+                )
+            ).localCheckpoint(eager=world_covered)
+        else:
+            win = Window.partitionBy("id").orderBy("d2", "neighbor")
+            topk = (
+                cand.withColumn("rk", F.row_number().over(win))
+                .where(F.col("rk") <= k)
+                .withColumn(
+                    "_settled",
+                    F.col("_world")
+                    | (
+                        (F.max("rk").over(Window.partitionBy("id")) >= k)
+                        & (F.max("d2").over(Window.partitionBy("id"))
+                           < F.col("_g2"))
+                    ),
+                )
+            ).localCheckpoint(eager=world_covered)
         edge_cols = [
             F.col("id").alias("focal"),
             F.col("neighbor"),
