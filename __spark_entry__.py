@@ -604,6 +604,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["sim"],
         )
 
+    def near_dup_groups_q(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return sim.near_dup_groups(emb, threshold=0.4, mode="exact")
+
     def polygon_contiguity_q(spark, sf):
         from esda_spark.operators.weights import polygon_contiguity
         from esda_spark.sources.polygons import grid_tiling
@@ -920,6 +924,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "by_col_observed": by_col_observed,
         "choynowski": choynowski_q,
         "embedding_near_dup": embedding_near_dup_q,
+        # round-5 addition: transitive near-dup grouping + canonical
+        # selection (pairs -> connected components) — new operator, so
+        # it enters the scored window directly; spatial_median_rate
+        # (green r4 driver row) slides past the 50-key cutoff and stays
+        # CI-swept like every oracle key.
+        "near_dup_groups": near_dup_groups_q,
         # round-4 window rotation (VERDICT r3 item 2): the 13 oracle-
         # backed queries still outside the window rotate in — 7 the
         # driver has NEVER scored (moi_regions, correlogram_knn,
@@ -2182,6 +2192,26 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+    sql["near_dup_groups"] = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4
+), edges AS (
+  SELECT va AS s, vb AS d FROM pairs
+  UNION ALL
+  SELECT vb AS s, va AS d FROM pairs
+), reach AS (
+  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+  UNION
+  SELECT e.s AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.d
+)
+SELECT id AS vec_id, min(lbl) AS group_id,
+       CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM reach GROUP BY id
 """
 
     # by_col (P8): column-wise local Moran, observed Is for two columns

@@ -691,3 +691,52 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", "sim")
     )
+
+
+def near_dup_groups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    mode: str = "lsh",
+    dim: int | None = None,
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, group_id, is_canonical): transitive near-duplicate
+    groups over embedding cosine — the grouping/canonical-selection
+    step a dedup pipeline runs after pair finding (keep one document
+    per group, drop the rest), as in SemDeDup-style embedding dedup.
+
+    group_id = minimum vec_id reachable through pairs with cosine >=
+    threshold (connected components of the near-dup graph; singletons
+    are their own group).  is_canonical = 1 for the group minimum —
+    ``where(is_canonical = 1)`` is the surviving corpus.
+
+    Scale posture: pair finding is hyperplane-LSH bucketed (never
+    all-pairs) and the closure is the distributed large-star/small-star
+    contraction from ``operators.components`` — no driver-sized
+    collects anywhere, so the whole pipeline holds at corpus scale.
+    mode="exact" (all-pairs) exists for validation and small inputs.
+    """
+    from esda_spark.operators.components import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        embeddings, threshold=threshold, mode=mode, dim=dim,
+        num_planes=num_planes, num_tables=num_tables, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    ids = embeddings.select(F.col(id_col).alias("vec_id"))
+    return (
+        ids.join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).alias("group_id"),
+            F.when(
+                F.coalesce("component", F.col("vec_id"))
+                == F.col("vec_id"), 1,
+            ).otherwise(0).alias("is_canonical"),
+        )
+    )

@@ -442,6 +442,50 @@ def test_embedding_near_dup_lsh_recall(spark):
     assert recall >= 0.9, recall
 
 
+def test_near_dup_groups_exact_and_lsh(spark):
+    from esda_spark.operators.similarity import near_dup_groups
+
+    rng = np.random.default_rng(47)
+    dim, n_base = 32, 120
+    base = rng.normal(size=(n_base, dim))
+    # plant chains: rows 0..9 each get TWO perturbed copies, so the
+    # transitive group must pull all three ids together even when the
+    # copy-copy cosine alone might sit at the threshold edge
+    d1 = base[:10] + rng.normal(0, 0.01, size=(10, dim))
+    d2 = base[:10] + rng.normal(0, 0.01, size=(10, dim))
+    vecs = np.vstack([base, d1, d2])
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: (r.group_id, r.is_canonical) for r in near_dup_groups(
+        emb, threshold=0.95, mode="exact").collect()}
+    assert len(got) == len(vecs)  # singletons included
+    for i in range(10):
+        # base row i is the minimum id of its planted triple
+        assert got[i] == (i, 1)
+        assert got[n_base + i] == (i, 0)
+        assert got[n_base + 10 + i] == (i, 0)
+    # untouched base rows are their own canonical singleton group
+    for i in range(20, 30):
+        assert got[i] == (i, 1)
+    # every group's canonical flag marks exactly the group minimum
+    by_group = {}
+    for vid, (gid, canon) in got.items():
+        by_group.setdefault(gid, []).append((vid, canon))
+    for gid, members in by_group.items():
+        assert sorted(m for m, _ in members)[0] == gid
+        assert {m for m, c in members if c == 1} == {gid}
+    # the LSH scale path finds the same planted groups
+    lsh = {r.vec_id: r.group_id for r in near_dup_groups(
+        emb, threshold=0.95, mode="lsh", num_planes=6,
+        num_tables=10).collect()}
+    planted_ok = sum(
+        1 for i in range(10)
+        if lsh[i] == lsh[n_base + i] == lsh[n_base + 10 + i])
+    assert planted_ok >= 9, planted_ok
+
+
 def test_ann_multiprobe_and_clustered_recall(spark):
     from esda_spark.operators.similarity import (
         cosine_topk, lsh_topk, recall_at_k,
