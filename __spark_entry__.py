@@ -359,6 +359,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = tx.lsh_candidate_pairs(sig, num_hashes=8, bands=4)
         return _round(tx.ngram_jaccard_pairs(docs, pairs), ["jaccard"], 9)
 
+    def minhash_dedup_groups_q(spark, sf):
+        # num_hashes=8/bands=4 mirrors the oracle's h0..h7 banding (the
+        # same config the ngram_jaccard oracle replicates in SQL)
+        return tx.minhash_dedup_groups(
+            _docs(spark, sf), threshold=0.8, num_hashes=8, bands=4)
+
     def geary_local_mv_observed(spark, sf):
         res = lstats.geary_local_mv(
             _points(spark, sf),
@@ -930,6 +936,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (green r4 driver row) slides past the 50-key cutoff and stays
         # CI-swept like every oracle key.
         "near_dup_groups": near_dup_groups_q,
+        # round-5 addition: the text-modality dedup pipeline end-to-end
+        # (MinHash -> LSH bands -> Jaccard verify -> components ->
+        # canonical); ann_topk (green r4 row) slides past the 50-key
+        # cutoff alongside spatial_median_rate and stays CI-swept.
+        "minhash_dedup_groups": minhash_dedup_groups_q,
         # round-4 window rotation (VERDICT r3 item 2): the 13 oracle-
         # backed queries still outside the window rotate in — 7 the
         # driver has NEVER scored (moi_regions, correlogram_knn,
@@ -2192,6 +2203,55 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+    sql["minhash_dedup_groups"] = f"""
+WITH RECURSIVE sh AS (
+  SELECT DISTINCT doc_id, unnest({shingles}) AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, {minhash_cols}
+  FROM (SELECT doc_id, unnest({shingles}) AS sh FROM documents) s
+  GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id,
+    h0 || ',' || h1 AS band0, h2 || ',' || h3 AS band1,
+    h4 || ',' || h5 AS band2, h6 || ',' || h7 AS band3
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM keyed a JOIN keyed b
+    ON (a.band0 = b.band0 OR a.band1 = b.band1
+        OR a.band2 = b.band2 OR a.band3 = b.band3)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+pairs AS (
+  SELECT i2.doc_a, i2.doc_b
+  FROM (
+    SELECT p.doc_a, p.doc_b, count(*) AS i
+    FROM cand p JOIN sh a ON a.doc_id = p.doc_a
+               JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+    GROUP BY 1, 2
+  ) i2 JOIN sizes sa ON sa.doc_id = i2.doc_a
+      JOIN sizes sb ON sb.doc_id = i2.doc_b
+  WHERE CAST(i2.i AS DOUBLE) / (sa.sz + sb.sz - i2.i) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.s AS id, r.lbl FROM edges e JOIN reach r ON r.id = e.d
+)
+SELECT id AS doc_id, min(lbl) AS group_id,
+       CAST(CASE WHEN id = min(lbl) THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM reach GROUP BY id
 """
 
     sql["near_dup_groups"] = """

@@ -191,6 +191,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     sigs.count()
     timed("lsh_pairs", lambda: lsh_candidate_pairs(sigs, 16, 4).count())
     timed("simhash", lambda: simhash_signatures(docs).count())
+    from esda_spark.operators.text import minhash_dedup_groups
+    timed(
+        "minhash_dedup_groups",
+        lambda: minhash_dedup_groups(docs, threshold=0.8)
+        .where(F.col("is_canonical") == 0).count(),
+    )
 
     # --- ANN over embeddings ---
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(CPUS).cache()
@@ -199,6 +205,12 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     timed("ann_cosine_topk", lambda: cosine_topk(emb, q, k=10).count())
+    from esda_spark.operators.similarity import near_dup_groups
+    timed(
+        "embedding_dedup_groups",
+        lambda: near_dup_groups(emb, threshold=0.9, mode="lsh")
+        .where(F.col("is_canonical") == 0).count(),
+    )
     exact = cosine_topk(emb, q, k=10).cache()
     exact.count()
 

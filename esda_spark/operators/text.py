@@ -340,3 +340,50 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         lambda acc, x: (acc * F.lit(31) + x) % F.lit(FP_MOD),
     )
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+
+
+def minhash_dedup_groups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, group_id, is_canonical): transitive near-duplicate
+    document groups — the full MinHash dedup pipeline (the text
+    analogue of ``similarity.near_dup_groups``): LSH banding proposes
+    candidates, exact shingle Jaccard verifies them at >= threshold,
+    connected components closes transitively, and the group-minimum
+    doc_id is flagged canonical.  ``where(is_canonical = 1)`` is the
+    deduplicated corpus.
+
+    Every stage is bucketed/bounded at corpus scale: banding is one
+    self-join on (band, key) with AQE skew splitting, verification
+    touches candidates only, and the closure is the distributed
+    star-contraction components operator (in-core fast path below 2M
+    edges — near-dup edge sets are sparse by construction since LSH
+    thresholds candidate volume).
+    """
+    from esda_spark.operators.components import connected_components
+
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+    verified = (
+        ngram_jaccard_pairs(docs, cand, text_col, id_col, shingle_n)
+        .where(F.col("jaccard") >= threshold)
+    )
+    comp = connected_components(verified, src="doc_a", dst="doc_b")
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        ids.join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("group_id"),
+            F.when(
+                F.coalesce("component", F.col("doc_id"))
+                == F.col("doc_id"), 1,
+            ).otherwise(0).alias("is_canonical"),
+        )
+    )

@@ -70,6 +70,27 @@ def test_lsh_and_jaccard(spark):
         assert 0.5 < jmap[(0, 2)] < 1.0
 
 
+def test_minhash_dedup_groups(spark):
+    base = "word%d " * 40
+    rows = [
+        (0, base % tuple(range(40))),
+        (1, base % tuple(range(40))),               # exact dup of 0
+        (2, base % tuple(list(range(39)) + [99])),  # near dup of 0/1
+        (3, " ".join(f"other{i}" for i in range(40))),
+        (4, " ".join(f"misc{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.group_id, r.is_canonical) for r in
+           tx.minhash_dedup_groups(df, threshold=0.8).collect()}
+    assert len(got) == 5  # singletons included
+    assert got[0] == (0, 1)
+    assert got[1] == (0, 0)
+    assert got[3] == (3, 1) and got[4] == (4, 1)
+    # doc 2 shares 38/41 shingles with 0 (jaccard ~0.86): transitively
+    # grouped with the exact-dup pair under one canonical id
+    assert got[2] == (0, 0)
+
+
 def test_simhash_near_dup_property(spark):
     rows = [
         (0, " ".join(f"tok{i}" for i in range(50))),
