@@ -174,13 +174,28 @@ def vec_permutations(max_card: int, n: int, k: int, seed: int) -> np.ndarray:
     return out
 
 
-def gather_neighborhoods(edges: DataFrame) -> DataFrame:
+def gather_neighborhoods(
+    edges: DataFrame,
+    tiles: int | None = None,
+    seed: int = 12345,
+) -> DataFrame:
     """(id, wlist, self_weight): per-site neighbor weights sorted by
-    neighbor id, plus the self-loop weight — the broadcast crand path's
-    gather, exposed so a fit issuing several crand calls over the SAME
-    weights (``moran_local_partial``: q+2 components) can pay the edge
-    shuffle once: ``gather_neighborhoods(w).localCheckpoint(eager=True)``
-    then pass via ``conditional_randomization(gathered=...)``."""
+    neighbor id, plus the self-loop weight — the crand gather, exposed
+    so a fit issuing several crand calls over the SAME weights
+    (``moran_local_partial``: q+2 components) can pay the edge shuffle
+    once: ``gather_neighborhoods(w).persist()`` (materialize with a
+    ``count()``) then pass via ``conditional_randomization(gathered=...)``.
+
+    With ``tiles`` set the output carries the tiled path's ``tile``
+    column (``pmod(xxhash64(id, seed), tiles)`` — ``tiles`` and
+    ``seed`` MUST match the crand call's, or the tile cogroup fails
+    loudly with "observed contains ids absent from values") and is
+    pre-partitioned on it.  Materialize with ``persist()`` (+ a
+    ``count()``), NOT localCheckpoint: the cached repartition keeps
+    its tile partitioning through the cogroup, so every tiled crand
+    call reuses the gather with zero per-call exchange, while a
+    checkpointed plan reports UnknownPartitioning in this Spark build
+    and re-exchanges (still skipping the edge re-aggregation)."""
     others = edges.where(F.col("focal") != F.col("neighbor"))
     selfw = (
         edges.where(F.col("focal") == F.col("neighbor"))
@@ -197,11 +212,23 @@ def gather_neighborhoods(edges: DataFrame) -> DataFrame:
         )
         .withColumnRenamed("focal", "id")
     )
-    return g.join(selfw, "id", "full").select(
+    out = g.join(selfw, "id", "full").select(
         "id",
         F.coalesce("wlist", F.array()).alias("wlist"),
         F.coalesce("self_weight", F.lit(0.0)).alias("self_weight"),
     )
+    if tiles is not None:
+        spark = edges.sparkSession
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        out = (
+            out.select(
+                F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(tiles))
+                .alias("tile"),
+                "id", "wlist", "self_weight",
+            )
+            .repartition(nparts, "tile")
+        )
+    return out
 
 
 def _moment_cols(res: dict, obs: np.ndarray, e_sim, v_sim) -> None:
@@ -257,10 +284,15 @@ def conditional_randomization(
               regime where the broadcast path's O(n) driver collect
               becomes the binding constraint.
     gathered: optional precomputed :func:`gather_neighborhoods` output
-              (id, wlist, self_weight) — lets a fit that issues several
-              crand calls over the same weights pay the edge gather
-              shuffle once (checkpoint it first).  Broadcast mode only;
-              tiled mode re-derives its tile-partitioned gather.
+              (id, wlist, self_weight[, tile]) — lets a fit that issues
+              several crand calls over the same weights pay the edge
+              gather shuffle once (checkpoint it first).  Works in both
+              modes: broadcast joins it to ``observed``; tiled feeds it
+              straight into the tile cogroup (gather with
+              ``tiles=/seed=`` matching this call so the checkpointed
+              tile partitioning is reused verbatim — a tile-less gather
+              is re-tiled by one projection + exchange, still skipping
+              the edge re-aggregation).
     Returns (id, p_sim [, moment cols] [, sims array<double>]).
     """
     if mode == "auto":
@@ -270,6 +302,7 @@ def conditional_randomization(
         return _crand_tiled(
             values, edges, observed, stat_func, permutations, seed,
             scaling, island_weight, alternative, keep, moments, tiles,
+            gathered=gathered,
         )
     kernel = KERNELS[stat_func]
     spark = values.sparkSession
@@ -407,6 +440,7 @@ def _crand_tiled(
     keep: bool,
     moments: bool,
     tiles: int,
+    gathered: DataFrame | None = None,
 ) -> DataFrame:
     """Tile-conditional permutation: the beyond-broadcast scale path.
 
@@ -431,6 +465,16 @@ def _crand_tiled(
     round-3/4 shape gathered by focal and re-shuffled the full wlist
     table for the cogroup — a doubled edge-sized shuffle, the dominant
     cost at 1e9 sites.)
+
+    With ``gathered`` (a checkpointed :func:`gather_neighborhoods`
+    output, ideally built with matching ``tiles``/``seed`` so its tile
+    partitioning feeds the cogroup without any exchange) the
+    neighborhood side pays NOTHING per call: ``observed`` rides the
+    n-sized pool exchange as marker rows and the kernel splits them
+    back out — a fit issuing several crand calls over one W (partial
+    MV Moran: q+2 components) gathers the edge table exactly once,
+    matching the reference's one-gather-per-fit behavior
+    (``/root/reference/esda/crand.py:179-221``).
     """
     spark = values.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -450,45 +494,74 @@ def _crand_tiled(
 
     dnull = F.lit(None).cast("double")
     lnull = F.lit(None).cast("long")
-    edge_rows = edges.select(
-        tile_of(F.col("focal")).alias("tile"),
-        F.col("focal").alias("id"),
-        F.when(F.col("focal") != F.col("neighbor"), F.col("neighbor"))
-        .alias("neighbor"),
-        F.col("weight"),
-        dnull.alias("observed"),
-        # self-loop edges carry their weight in the self_weight slot
-        F.when(F.col("focal") == F.col("neighbor"), F.col("weight"))
-        .alias("self_weight"),
-    )
-    obs_rows = observed.select(
-        tile_of(F.col("id")).alias("tile"), F.col("id"),
-        lnull.alias("neighbor"), dnull.alias("weight"),
-        F.col("observed"), dnull.alias("self_weight"),
-    )
-    # THE single neighborhood exchange: the (tile, focal) gather runs
-    # inside the tile partitioning and the cogroup reuses it verbatim
-    base = (
-        edge_rows.unionByName(obs_rows)
-        .repartition(nparts, "tile")
-        .groupBy("tile", "id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(CASE WHEN neighbor IS"
-                " NOT NULL THEN struct(neighbor, weight) END)),"
-                " s -> s.weight)"
-            ).alias("wlist"),
-            F.max("observed").alias("observed"),
-            F.coalesce(F.max("self_weight"), F.lit(0.0)).alias("self_weight"),
+    if gathered is None:
+        edge_rows = edges.select(
+            tile_of(F.col("focal")).alias("tile"),
+            F.col("focal").alias("id"),
+            F.when(F.col("focal") != F.col("neighbor"), F.col("neighbor"))
+            .alias("neighbor"),
+            F.col("weight"),
+            dnull.alias("observed"),
+            # self-loop edges carry their weight in the self_weight slot
+            F.when(F.col("focal") == F.col("neighbor"), F.col("weight"))
+            .alias("self_weight"),
         )
-        # sites come from `observed` (edges whose focal was never scored
-        # drop out, islands with no edges stay in)
-        .where(F.col("observed").isNotNull())
-    )
-    pool = values.select(
-        tile_of(F.col("id")).alias("tile"), F.col("id").alias("pid"),
-        *zcols,
-    )
+        obs_rows = observed.select(
+            tile_of(F.col("id")).alias("tile"), F.col("id"),
+            lnull.alias("neighbor"), dnull.alias("weight"),
+            F.col("observed"), dnull.alias("self_weight"),
+        )
+        # THE single neighborhood exchange: the (tile, focal) gather runs
+        # inside the tile partitioning and the cogroup reuses it verbatim
+        base = (
+            edge_rows.unionByName(obs_rows)
+            .repartition(nparts, "tile")
+            .groupBy("tile", "id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN neighbor IS"
+                    " NOT NULL THEN struct(neighbor, weight) END)),"
+                    " s -> s.weight)"
+                ).alias("wlist"),
+                F.max("observed").alias("observed"),
+                F.coalesce(F.max("self_weight"), F.lit(0.0))
+                .alias("self_weight"),
+            )
+            # sites come from `observed` (edges whose focal was never
+            # scored drop out, islands with no edges stay in)
+            .where(F.col("observed").isNotNull())
+        )
+        pool = values.select(
+            tile_of(F.col("id")).alias("tile"), F.col("id").alias("pid"),
+            *zcols,
+        )
+    else:
+        # precomputed gather: the neighborhood side pays nothing per
+        # call (tile column present -> checkpointed tile partitioning
+        # flows into the cogroup; absent -> one projection + exchange,
+        # still no edge re-aggregation).  `observed` rides the n-sized
+        # pool exchange as _kind=1 marker rows; sites and islands come
+        # from it exactly as in the union path.
+        base = (
+            gathered if "tile" in gathered.columns
+            else gathered.select(
+                tile_of(F.col("id")).alias("tile"),
+                "id", "wlist", "self_weight",
+            )
+        ).select("tile", "id", "wlist", "self_weight")
+        pool = (
+            values.select(
+                tile_of(F.col("id")).alias("tile"),
+                F.col("id").alias("pid"), *zcols,
+                dnull.alias("_obs"), F.lit(0).alias("_kind"),
+            )
+            .unionByName(observed.select(
+                tile_of(F.col("id")).alias("tile"),
+                F.col("id").alias("pid"),
+                *[dnull.alias(c) for c in zcols],
+                F.col("observed").alias("_obs"), F.lit(1).alias("_kind"),
+            ))
+        )
 
     out_schema = "id long, p_sim double"
     if moments:
@@ -547,10 +620,76 @@ def _crand_tiled(
             res["sims"] = sims_out
         return pd.DataFrame(res)
 
+    def run_tile_gathered(key, base_pdf, pool_pdf):
+        tile = int(key[0])
+        empty = pd.DataFrame(
+            {c.split(" ")[0]: [] for c in out_schema.split(", ")}
+        )
+        kind = pool_pdf["_kind"].to_numpy()
+        obs_pdf = pool_pdf[kind == 1]
+        val_pdf = pool_pdf[kind == 0]
+        if len(obs_pdf) == 0 or len(val_pdf) == 0:
+            return empty
+        pool_sorted = val_pdf.sort_values("pid")
+        pool_ids = pool_sorted["pid"].to_numpy(np.int64)
+        z = pool_sorted[zcols].to_numpy(np.float64)
+        if z.shape[1] == 1:
+            z = z[:, 0]
+        n_t = len(pool_sorted)
+        site_ids = obs_pdf["pid"].to_numpy(np.int64)
+        obs = obs_pdf["_obs"].to_numpy(np.float64)
+        # neighborhood lookup: a site absent from the gather is an
+        # island (empty wlist) — same semantics as the union path
+        bids = base_pdf["id"].to_numpy(np.int64)
+        border = np.argsort(bids, kind="stable")
+        bsort = bids[border]
+        if len(bsort):
+            pos = np.minimum(
+                np.searchsorted(bsort, site_ids), len(bsort) - 1
+            )
+            has = bsort[pos] == site_ids
+            sw_all = base_pdf["self_weight"].to_numpy(np.float64)
+            selfws = np.where(has, sw_all[border[pos]], 0.0)
+            wl_all = base_pdf["wlist"].to_numpy()
+            wl = [
+                wl_all[border[p]] if ok else []
+                for p, ok in zip(pos, has)
+            ]
+        else:
+            selfws = np.zeros(len(site_ids))
+            wl = [[] for _ in site_ids]
+        max_card = max((len(w) for w in wl), default=1) or 1
+        if max_card >= n_t - 1:
+            raise ValueError(
+                f"tile {tile} has {n_t} sites but a site with {max_card} "
+                "neighbors; use fewer tiles so each tile's pool exceeds "
+                "the max cardinality"
+            )
+        P_full = vec_permutations(
+            max_card, n_t, kw["permutations"],
+            seed ^ (0x9E3779B9 * (tile + 1) & 0x7FFFFFFF),
+        )
+        lids = np.searchsorted(pool_ids, site_ids)
+        if (lids >= n_t).any() or not (pool_ids[lids] == site_ids).all():
+            raise ValueError(
+                f"tile {tile}: observed contains ids absent from values "
+                "(gathered tiles/seed must match this call's)"
+            )
+        p_out, sims_out, e_sim, v_sim = crand_partition(
+            lids, obs, selfws, wl, z, P_full, **kw
+        )
+        res = {"id": site_ids, "p_sim": p_out}
+        if moments:
+            _moment_cols(res, obs, e_sim, v_sim)
+        if kw["keep"]:
+            res["sims"] = sims_out
+        return pd.DataFrame(res)
+
+    kernel_fn = run_tile if gathered is None else run_tile_gathered
     return (
         base.groupBy("tile")
         .cogroup(pool.groupBy("tile"))
-        .applyInPandas(run_tile, schema=out_schema)
+        .applyInPandas(kernel_fn, schema=out_schema)
     )
 
 

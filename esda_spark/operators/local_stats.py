@@ -804,10 +804,25 @@ def moran_local_partial(
     if permutations:
         # one edge gather shared by all q+2 component calls (the same
         # W backs every component; re-gathering per call multiplied the
-        # dominant shuffle by the component count)
-        from esda_spark.operators.crand import gather_neighborhoods
+        # dominant shuffle by the component count).  The mode is decided
+        # ONCE from n so the tiled regime gathers tile-partitioned and
+        # every component call reuses the checkpointed partitioning.
+        from esda_spark.operators.crand import (
+            _AUTO_TILED_ROWS,
+            gather_neighborhoods,
+        )
 
-        gathered = gather_neighborhoods(w).localCheckpoint(eager=True)
+        mode = "tiled" if n >= _AUTO_TILED_ROWS else "broadcast"
+        # persist, NOT localCheckpoint: a cached repartition keeps its
+        # tile partitioning through the cogroup (InMemoryTableScan
+        # reports the cached plan's outputPartitioning), so the tiled
+        # components reuse the gather with ZERO per-call exchange;
+        # checkpointed plans come back as UnknownPartitioning in this
+        # Spark build and would re-exchange every call.
+        gathered = gather_neighborhoods(
+            w, tiles=64 if mode == "tiled" else None, seed=seed
+        ).persist()
+        gathered.count()
         for j in range(q):
             vals = base.select(
                 "id", F.col(f"left_{j}").alias("zx"), F.col("yc").alias("zy")
@@ -818,7 +833,7 @@ def moran_local_partial(
             pj = conditional_randomization(
                 vals, w, obs, "left_times_lag",
                 permutations=permutations, seed=seed, scaling=1.0,
-                alternative=alternative, gathered=gathered,
+                alternative=alternative, mode=mode, gathered=gathered,
             ).withColumnRenamed("p_sim", f"p_sim_{j}")
             base = base.join(pj, "id", "left")
     keep_cols = (

@@ -321,3 +321,55 @@ def test_crand_tiled_moments_and_keep(spark):
         assert r.E_sim == pytest.approx(sims.mean(), rel=1e-9)
         assert r.V_sim == pytest.approx(sims.var(), rel=1e-9, abs=1e-15)
         assert 0 < r.p_sim <= 1
+
+def test_crand_tiled_gathered_exact_parity(spark):
+    # the precomputed-gather tiled path must be BIT-identical to the
+    # in-call gather: same tiling + same per-tile permutation stream
+    # (this is what lets multi-call fits reuse one gather at scale)
+    from esda_spark.operators.crand import (
+        conditional_randomization,
+        gather_neighborhoods,
+    )
+    from esda_spark.operators.weights import knn_edges, transform_weights
+
+    rng = np.random.default_rng(23)
+    n = 300
+    xy = rng.uniform(0, 80, size=(n, 2))
+    y = rng.normal(0, 1, n)
+    pts = spark.createDataFrame(
+        [(int(i), float(x), float(yy), float(v))
+         for i, ((x, yy), v) in enumerate(zip(xy, y))],
+        "id long, x double, y double, y_cont double",
+    )
+    edges = knn_edges(pts, k=5, cell_size=20.0)
+    # drop one site's edges entirely -> island exercises the
+    # empty-wlist lookup in the gathered kernel
+    island = 7
+    edges = edges.where(
+        (F.col("focal") != island) & (F.col("neighbor") != island)
+    )
+    w = transform_weights(edges, "R")
+    z = pts.select("id", (F.col("y_cont") / float(y.std())).alias("z"))
+    obs = ls.moran_local(pts, edges, "y_cont", permutations=0).select(
+        "id", F.col("Is").alias("observed"))
+
+    def run(**kw):
+        res = conditional_randomization(
+            z, w, obs, "moran_local", permutations=99, seed=5,
+            mode="tiled", tiles=3, moments=True, **kw,
+        ).orderBy("id").toPandas()
+        return res
+
+    plain = run()
+    # persist = the recommended reuse pattern (keeps tile partitioning);
+    # the tile-less localCheckpoint covers the re-tile projection path
+    tiled_gather = gather_neighborhoods(w, tiles=3, seed=5).persist()
+    tiled_gather.count()
+    flat_gather = gather_neighborhoods(w).localCheckpoint(eager=True)
+    for g in (tiled_gather, flat_gather):
+        got = run(gathered=g)
+        assert list(got["id"]) == list(plain["id"])
+        for col in ("p_sim", "E_sim", "V_sim"):
+            np.testing.assert_array_equal(
+                got[col].to_numpy(), plain[col].to_numpy(), err_msg=col
+            )
