@@ -260,6 +260,7 @@ def conditional_randomization(
     mode: str = "auto",
     tiles: int = 64,
     gathered: DataFrame | None = None,
+    n_sites: int | None = None,
 ) -> DataFrame:
     """Per-site pseudo p-values under conditional permutation.
 
@@ -293,10 +294,13 @@ def conditional_randomization(
               tile partitioning is reused verbatim — a tile-less gather
               is re-tiled by one projection + exchange, still skipping
               the edge re-aggregation).
+    n_sites:  row count of ``values`` if the caller already knows it —
+              skips the count job mode="auto" otherwise runs per call.
     Returns (id, p_sim [, moment cols] [, sims array<double>]).
     """
     if mode == "auto":
-        n_sites = values.count()
+        if n_sites is None:
+            n_sites = values.count()
         mode = "tiled" if n_sites >= _AUTO_TILED_ROWS else "broadcast"
     if mode == "tiled":
         return _crand_tiled(

@@ -133,7 +133,7 @@ def moran_local(
             zvals, w, base.select("id", F.col("Is").alias("observed")),
             "moran_local", permutations=permutations, seed=seed,
             scaling=(n - 1) / den, alternative=alternative,
-            keep=keep_simulations, moments=moments,
+            keep=keep_simulations, moments=moments, n_sites=n,
         )
         base = base.join(p, "id", "left")
     return base.drop("wi", "wi2")
@@ -174,7 +174,7 @@ def moran_local_bv(
         p = conditional_randomization(
             zvals, w, base.select("id", F.col("Is").alias("observed")),
             "moran_local_bv", permutations=permutations, seed=seed,
-            scaling=(n - 1) / denx, alternative=alternative,
+            scaling=(n - 1) / denx, alternative=alternative, n_sites=n,
         )
         base = base.join(p, "id", "left")
     return base
@@ -210,9 +210,10 @@ def geary_local(
 ) -> DataFrame:
     """Columns: id, localG, p_sim [, labs]."""
     agg = points.agg(
+        F.count("*").alias("n"),
         F.avg(value_col).alias("mu"), F.stddev_pop(value_col).alias("sd")
     ).collect()[0]
-    mu, sd = float(agg.mu), float(agg.sd)
+    n, mu, sd = int(agg.n), float(agg.mu), float(agg.sd)
     zvals = points.select(
         "id", ((F.col(value_col) - F.lit(mu)) / F.lit(sd)).alias("z")
     )
@@ -232,7 +233,7 @@ def geary_local(
         p = conditional_randomization(
             zvals, edges, base.select("id", F.col("localG").alias("observed")),
             "geary_local", permutations=permutations, seed=seed,
-            alternative=alternative,
+            alternative=alternative, n_sites=n,
         )
         base = base.join(p, "id", "left")
     if labels and permutations:
@@ -316,7 +317,7 @@ def g_local(
             base.select("id", F.col("Gs").alias("observed")),
             "g_local_star" if star else "g_local",
             permutations=permutations, seed=seed, scaling=y_sum,
-            alternative=alternative, moments=moments,
+            alternative=alternative, moments=moments, n_sites=n,
         )
         base = base.join(p, "id", "left")
     return base.drop("wi", "wi2")
@@ -463,6 +464,7 @@ def lee_local(
     inference follows the fit loop at lee.py:197-231 (joint draws of
     the centered pair; row-standardized weights)."""
     agg = points.agg(
+        F.count("*").alias("n"),
         F.avg(x_col).alias("mx"), F.stddev_pop(x_col).alias("sx"),
         F.avg(y_col).alias("my"), F.stddev_pop(y_col).alias("sy"),
     ).collect()[0]
@@ -484,7 +486,7 @@ def lee_local(
         p = conditional_randomization(
             zvals, w, base.select("id", F.col("L").alias("observed")),
             "lee_local", permutations=permutations, seed=seed, scaling=1.0,
-            alternative=alternative,
+            alternative=alternative, n_sites=int(agg.n),
         )
         base = base.join(p, "id", "left")
     return base
@@ -572,6 +574,7 @@ def geary_local_mv(
     variable (ddof=0); joint conditional permutation of the row tuple."""
     k = len(value_cols)
     aggs = points.agg(
+        F.count("*").alias("n"),
         *[F.avg(c).alias(f"m_{c}") for c in value_cols],
         *[F.stddev_pop(c).alias(f"s_{c}") for c in value_cols],
     ).collect()[0]
@@ -606,7 +609,7 @@ def geary_local_mv(
         p = conditional_randomization(
             zvals, edges, base.select("id", F.col("localG").alias("observed")),
             "geary_local_mv", permutations=permutations, seed=seed,
-            scaling=1.0, alternative=alternative,
+            scaling=1.0, alternative=alternative, n_sites=int(aggs.n),
         )
         base = base.join(p, "id", "left")
     return base
@@ -696,7 +699,7 @@ def moran_local_conditional(
             yf.withColumnRenamed("yf", "z"), w,
             base.select("id", F.col("assoc").alias("observed")),
             "moran_local", permutations=permutations, seed=seed,
-            scaling=(n - 1) / den, alternative=alternative,
+            scaling=(n - 1) / den, alternative=alternative, n_sites=n,
         )
         base = base.join(pdf, "id", "left")
     return base

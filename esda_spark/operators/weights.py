@@ -55,8 +55,16 @@ EDGE_COLS = ("focal", "neighbor", "weight")
 # many (focal, candidate) pairs is cheaper than the density pass it
 # replaces.  Env ESDA_SPARK_FLAT_RING_BUDGET overrides (0 disables the
 # flat gate so every skewed input refines, as before round 5).
+# Sized by measurement, not by what fits in memory: the quadtree pass
+# it would skip costs ~10 s of fixed jobs, and a settlement frame
+# shuffles ~36 B/candidate through the top-k window sort, so the
+# crossover sits at the ~1e7 pairs a round-1 sort absorbs in a few
+# seconds.  (The original 2e8 — "fits comfortably in a shuffle" — sent
+# the 150k orders table flat at 86M pairs, turning a 23 s build into
+# 255 s of shuffle-bound sort, core-count-independent; see BASELINE.md
+# round 5.)
 _FLAT_CANDIDATE_BUDGET = int(
-    float(os.environ.get("ESDA_SPARK_FLAT_RING_BUDGET", 2e8))
+    float(os.environ.get("ESDA_SPARK_FLAT_RING_BUDGET", 1e7))
 )
 
 
