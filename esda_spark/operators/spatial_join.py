@@ -138,7 +138,8 @@ def knn_join(
     pids_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     levels = _density_levels(lpts, rpts, cell_size,
                              density_threshold=max(4 * k, 32),
-                             max_levels=12)
+                             max_levels=12,
+                             flat_budget=int(2e8) if k == 1 else None)
     edges = _knn_rounds_multi(
         levels, rpts, k, cell_size, binary=True, max_rounds=12,
         pids_before=pids_before, exclude_self=False, keep_d2=True,

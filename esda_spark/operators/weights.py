@@ -120,7 +120,8 @@ def knn_edges(
         density_threshold = max(4 * k, 32)
 
     levels = _density_levels(base, base, cell_size, density_threshold,
-                             max_levels)
+                             max_levels,
+                             flat_budget=int(2e8) if k == 1 else None)
     return _knn_rounds_multi(levels, base, k, cell_size, binary,
                              max_rounds, pids_before, keep_d2=keep_d2)
 
@@ -131,6 +132,7 @@ def _density_levels(
     cell_size: float,
     density_threshold: int,
     max_levels: int,
+    flat_budget: int | None = None,
 ) -> list[tuple[int, DataFrame]]:
     """Quadtree density-level assignment: split ``focals`` into
     (level, frame) classes so that, at each focal's level, a
@@ -178,7 +180,14 @@ def _density_levels(
     # not points) ring self-join.
     same_side = focals is density_src
     n_foc = n_src if same_side else focals.count()
-    if 9 * n_foc * max0 > _FLAT_CANDIDATE_BUDGET:
+    # k=1 callers raise the budget: their settlement is the map-side
+    # min-struct aggregate, so candidates are combined before the
+    # exchange and never flow through a window sort.  The env override
+    # still disables the gate outright (budget 0 -> always refine).
+    budget = (_FLAT_CANDIDATE_BUDGET if flat_budget is None
+              else min(flat_budget, max(_FLAT_CANDIDATE_BUDGET, 1) * 20)
+              if _FLAT_CANDIDATE_BUDGET else 0)
+    if 9 * n_foc * max0 > budget:
         cx, cy = unpack_cell(F.col("_c"))
         cgrid = counts0.select(
             cx.alias("_cx"), cy.alias("_cy"), F.col("count")
@@ -209,7 +218,7 @@ def _density_levels(
         )
     else:
         volume = 9 * n_foc * max0
-    if volume <= _FLAT_CANDIDATE_BUDGET:
+    if volume <= budget:
         return [(0, focals.select("id", "x", "y"))]
 
     hot0 = F.broadcast(
