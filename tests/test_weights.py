@@ -140,3 +140,34 @@ def test_knn_flat_gate_parity_on_skewed_points(spark, monkeypatch):
     want = {tuple(e) for e in onp.brute_knn_edges(xy, 8)}
     got = {(r.focal, r.neighbor) for r in flat.collect()}
     assert got == want
+
+def test_knn_flat_gate_budget_is_k_aware(spark, monkeypatch):
+    # the flat gate's budget reflects what the settlement can absorb:
+    # k>1 rows flow through a window sort (small budget), k=1 callers
+    # aggregate map-side and pass a raised flat_budget.  Fixture volume
+    # ~165k ring pairs sits between the two.
+    from esda_spark.operators import weights as W
+
+    rng = np.random.default_rng(11)
+    hot = rng.normal(loc=(5.0, 5.0), scale=0.05, size=(400, 2))
+    sparse = rng.uniform(0, 100, size=(200, 2))
+    xy = np.vstack([hot, sparse])
+    rows = [(int(i), float(x), float(y)) for i, (x, y) in enumerate(xy)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    base = pts.select("id", "x", "y")
+    cs = W._estimate_cell_size(base, 8)
+
+    monkeypatch.setattr(W, "_FLAT_CANDIDATE_BUDGET", 100_000)
+    # default (k>1 window-sort) budget: volume exceeds it -> refine
+    levels = W._density_levels(base, base, cs, 32, 12)
+    assert [lv for lv, _ in levels] != [0], "should refine above budget"
+    # k=1-style caller: raised flat_budget (capped at 20x the module
+    # default) absorbs the same volume -> flat
+    levels1 = W._density_levels(base, base, cs, 32, 12,
+                                flat_budget=int(2e8))
+    assert [lv for lv, _ in levels1] == [0], "k=1 budget should stay flat"
+    # env disable (module budget 0) wins over any explicit flat_budget
+    monkeypatch.setattr(W, "_FLAT_CANDIDATE_BUDGET", 0)
+    levels0 = W._density_levels(base, base, cs, 32, 12,
+                                flat_budget=int(2e8))
+    assert [lv for lv, _ in levels0] != [0], "budget 0 must always refine"
