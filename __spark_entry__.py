@@ -359,6 +359,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pairs = tx.lsh_candidate_pairs(sig, num_hashes=8, bands=4)
         return _round(tx.ngram_jaccard_pairs(docs, pairs), ["jaccard"], 9)
 
+    def paragraph_dedup_q(spark, sf):
+        # the synthetic docs carry no newlines, so the contract query
+        # splits on a frequent token — multi-fragment docs whose
+        # fragments genuinely repeat across the corpus
+        return tx.paragraph_dedup(
+            _docs(spark, sf), split_pattern=" data ", joiner="\n\n"
+        )
+
     def minhash_dedup_groups_q(spark, sf):
         # num_hashes=8/bands=4 mirrors the oracle's h0..h7 banding (the
         # same config the ngram_jaccard oracle replicates in SQL)
@@ -984,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "age_standardization": age_std_q,
         "moran_bv_matrix": moran_bv_matrix_q,
         "silhouette_alist": silhouette_q,
+        "paragraph_dedup": paragraph_dedup_q,
         # non-oracle (seeded permutation / ANN / iterative) — rows-only
         "lisa_full": lisa_full,
         "lisa_pipeline_resume": lisa_pipeline_resume,
@@ -1404,6 +1413,39 @@ SELECT CAST(floor((ep.x + 180.0) / 15.0) AS BIGINT) AS cx,
        round(sum(ev.value), 4) AS value_sum
 FROM ep JOIN events ev ON ev.event_id = ep.id
 GROUP BY 1, 2, 3
+"""
+
+    sql["paragraph_dedup"] = """
+WITH parts0 AS (
+  SELECT doc_id, string_split_regex(text, ' data ') AS ps FROM documents
+), parts AS (
+  SELECT doc_id, unnest(ps) AS para,
+         unnest(range(1, len(ps) + 1)) AS idx1
+  FROM parts0
+), clean AS (
+  SELECT doc_id, idx1 - 1 AS idx, para, lower(trim(para)) AS pkey
+  FROM parts WHERE length(trim(para)) > 0
+), firsts AS (
+  SELECT pkey, min(doc_id * 1000000000 + idx) AS fkey
+  FROM clean GROUP BY pkey
+), flags AS (
+  SELECT c.doc_id, c.idx, c.para,
+         (c.doc_id * 1000000000 + c.idx) = f.fkey AS keep
+  FROM clean c JOIN firsts f USING (pkey)
+), recon AS (
+  SELECT doc_id,
+         count(*) AS n_paragraphs,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         coalesce(string_agg(CASE WHEN keep THEN para END,
+                             chr(10) || chr(10) ORDER BY idx), '')
+           AS text_dedup
+  FROM flags GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.n_paragraphs, 0) AS n_paragraphs,
+       coalesce(r.n_kept, 0) AS n_kept,
+       coalesce(r.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN recon r USING (doc_id)
 """
 
     sql["dedup_exact"] = """

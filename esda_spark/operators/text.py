@@ -387,3 +387,74 @@ def minhash_dedup_groups(
             ).otherwise(0).alias("is_canonical"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_pattern: str = "\n\n+",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """(doc_id, n_paragraphs, n_kept, text_dedup): corpus-wide
+    paragraph-level exact dedup — the CCNet-style pass a Common-Crawl
+    pipeline runs before document-level dedup (boilerplate paragraphs
+    repeat across millions of pages; removing them per-paragraph keeps
+    the unique prose).
+
+    A paragraph survives iff it is the corpus-wide FIRST occurrence of
+    its normalized (lower/trim) form, ordered by (doc_id, position);
+    every later repeat is dropped.  ``text_dedup`` is the document
+    rebuilt from its surviving paragraphs in original order (empty
+    string when nothing survives); ``n_paragraphs``/``n_kept`` are the
+    before/after counts.
+
+    Scale posture: one explode, then first-occurrence selection as a
+    map-side-combinable ``min(struct(doc_id, idx))`` aggregate keyed by
+    the normalized paragraph (content-keyed shuffle — hot boilerplate
+    paragraphs are single keys whose partial mins collapse in the map
+    stage), then one groupBy(doc_id) reconstruction.  No corpus-wide
+    windows, nothing driver-sized.
+    """
+    parts = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), split_pattern))
+            .alias("idx", "para"),
+        )
+        .where(F.length(F.trim(F.col("para"))) > 0)
+        .withColumn("pkey", F.lower(F.trim(F.col("para"))))
+    )
+    firsts = parts.groupBy("pkey").agg(
+        F.min(F.struct("doc_id", "idx")).alias("_first")
+    )
+    kept = (
+        parts.join(firsts, "pkey")
+        .withColumn(
+            "_keep",
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("idx") == F.col("_first.idx")),
+        )
+    )
+    recon = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paragraphs"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                joiner,
+                F.expr(
+                    "transform(array_sort(filter(collect_list("
+                    "CASE WHEN _keep THEN struct(idx, para) END),"
+                    " x -> x IS NOT NULL)), s -> s.para)"
+                ),
+            ).alias("text_dedup"),
+        )
+    )
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return ids.join(recon, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_paragraphs", F.lit(0)).alias("n_paragraphs"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )

@@ -162,3 +162,25 @@ def test_simhash_long_doc_wide_lane(spark):
     narrow = _simhash_lanes(base, 60, 16).collect()[0].simhash
     wide = _simhash_lanes(base, 60, 32).collect()[0].simhash
     assert narrow == wide == sig[1]
+
+
+def test_paragraph_dedup_first_occurrence_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "Alpha beta.\n\nShared para.\n\nGamma."),
+            (1, "Shared para.\n\nDelta."),
+            (2, "shared PARA.\n\nAlpha beta."),  # casing still dedups
+            (3, ""),
+            (4, "X.\n\nX."),  # within-doc repeat
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_paragraphs, r.n_kept, r.text_dedup)
+        for r in tx.paragraph_dedup(docs).collect()
+    }
+    assert got[0] == (3, 3, "Alpha beta.\n\nShared para.\n\nGamma.")
+    assert got[1] == (2, 1, "Delta.")
+    assert got[2] == (2, 0, "")
+    assert got[3] == (0, 0, "")
+    assert got[4] == (2, 1, "X.")
