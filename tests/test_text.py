@@ -184,3 +184,45 @@ def test_paragraph_dedup_first_occurrence_semantics(spark):
     assert got[2] == (2, 0, "")
     assert got[3] == (0, 0, "")
     assert got[4] == (2, 1, "X.")
+
+
+def test_paragraph_dedup_matches_reference_on_random_corpora(spark):
+    # pure-python reference: corpus-wide first occurrence by
+    # (doc_id, idx) of the lower/trim key, in-order reconstruction
+    def ref(docs):
+        # enumerate the FILTERED sequence — blank entries never become
+        # paragraphs, so positions must be counted after filtering
+        first = {}
+        for did in sorted(docs):
+            paras = [p for p in docs[did] if p.strip()]
+            for idx, p in enumerate(paras):
+                first.setdefault(p.strip().lower(), (did, idx))
+        out = {}
+        for did in docs:
+            paras = [p for p in docs[did] if p.strip()]
+            kept = [
+                p for idx, p in enumerate(paras)
+                if first[p.strip().lower()] == (did, idx)
+            ]
+            out[did] = (len(paras), len(kept), "\n\n".join(kept))
+        return out
+
+    for seed in (3, 17, 91):
+        rng = np.random.default_rng(seed)
+        vocab = [f"para {i} words" for i in range(12)] + ["  ", ""]
+        docs = {
+            did: [vocab[i] for i in rng.integers(0, len(vocab), size=rng.integers(1, 9))]
+            for did in range(30)
+        }
+        sdf = spark.createDataFrame(
+            [(did, "\n\n".join(ps)) for did, ps in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_paragraphs, r.n_kept, r.text_dedup)
+            for r in tx.paragraph_dedup(sdf).collect()
+        }
+        want = ref(docs)
+        # empty-only docs produce text "" -> 0 paragraphs either way
+        for did in docs:
+            assert got[did] == want[did], (seed, did, got[did], want[did])
