@@ -975,9 +975,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_local_star_observed": g_local_star_observed,
         "age_adjusted_smoother": age_adjusted_smoother_q,
         "weighted_median_rate": weighted_median_rate_q,
+        # --- end of the driver's 50-query scoring window ---
+        # (ann_topk and spatial_median_rate sit just past the cutoff
+        # since the round-5 dedup-group queries rotated in; both have
+        # green r4 driver rows and stay CI-swept like every oracle key)
         "ann_topk": ann_topk,
         "spatial_median_rate": spatial_median_rate_q,
-        # --- end of the driver's 50-query scoring window ---
         "weights_rowstd": weights_rowstd,
         "gamma_ops": gamma_c,
         "lee_global": lee_global,

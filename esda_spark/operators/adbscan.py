@@ -90,9 +90,12 @@ def _dbscan_grid(
     eps2 = float(eps) ** 2
     pts = with_cell(points.select("id", "x", "y"), g)
     counts = pts.groupBy("cell").count()
+    # cache: #cells rows consumed three times (pts_f flag join, the
+    # dense-pair ring, and the ring's left_semi) — uncached, each use
+    # re-aggregates the full points table
     dense_cells = counts.where(
         F.col("count") >= int(min_samples)
-    ).select("cell")
+    ).select("cell").cache()
     pts_f = (
         pts.join(dense_cells.withColumn("_dense", F.lit(True)),
                  "cell", "left")
@@ -278,7 +281,7 @@ def _dbscan_grid(
         .localCheckpoint(eager=True)
     )
     for c in (pts_f, agg, sparse_core, comp, cell_cluster,
-              sparse_core_labels):
+              sparse_core_labels, dense_cells):
         c.unpersist()
     return out
 

@@ -844,7 +844,14 @@ def moran_local_partial(
         + [f"lmo_{j}" for j in range(q)]
         + ([f"p_sim_{j}" for j in range(q)] if permutations else [])
     )
-    return base.select(*keep_cols)
+    out = base.select(*keep_cols)
+    if permutations:
+        # materialize before releasing the shared gather — the lazy
+        # result is its only remaining consumer, and without this the
+        # edge-sized cached table leaks for the session lifetime
+        out = out.localCheckpoint(eager=True)
+        gathered.unpersist()
+    return out
 
 
 def by_col(
