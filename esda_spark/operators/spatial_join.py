@@ -132,19 +132,35 @@ def knn_join(
 
     lpts = left.select("id", "x", "y")
     rpts = right.select("id", "x", "y")
-    if cell_size is None:
-        cell_size = _estimate_cell_size(rpts, k)
-    sc = left.sparkSession.sparkContext
-    pids_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
-    levels = _density_levels(lpts, rpts, cell_size,
-                             density_threshold=max(4 * k, 32),
-                             max_levels=12,
-                             flat_budget=int(2e8) if k == 1 else None)
-    edges = _knn_rounds_multi(
-        levels, rpts, k, cell_size, binary=True, max_rounds=12,
-        pids_before=pids_before, exclude_self=False, keep_d2=True,
-        group_div=group_div,
+    # Broadcast-kernel fast path (round 6, same gate as knn_edges):
+    # the TARGET side is what gets collected/broadcast — the focal
+    # side streams through the kernel at any size, so e.g. ADBSCAN's
+    # 1-NN extension (millions of focals onto a thinned sample)
+    # qualifies whenever the sample fits the gate.
+    from esda_spark.operators.knn_incore import (
+        INCORE_MAX_TARGETS,
+        knn_edges_incore,
     )
+
+    if INCORE_MAX_TARGETS and rpts.count() <= INCORE_MAX_TARGETS:
+        edges = knn_edges_incore(
+            lpts, rpts, k, binary=True, exclude_self=False,
+            keep_d2=True, group_div=group_div,
+        )
+    else:
+        sc = left.sparkSession.sparkContext
+        pids_before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        if cell_size is None:
+            cell_size = _estimate_cell_size(rpts, k)
+        levels = _density_levels(lpts, rpts, cell_size,
+                                 density_threshold=max(4 * k, 32),
+                                 max_levels=12,
+                                 flat_budget=int(2e8) if k == 1 else None)
+        edges = _knn_rounds_multi(
+            levels, rpts, k, cell_size, binary=True, max_rounds=12,
+            pids_before=pids_before, exclude_self=False, keep_d2=True,
+            group_div=group_div,
+        )
     win = Window.partitionBy("focal").orderBy("d2", "neighbor")
     return (
         edges.withColumn("rank", F.row_number().over(win))

@@ -67,6 +67,19 @@ _FLAT_CANDIDATE_BUDGET = int(
     float(os.environ.get("ESDA_SPARK_FLAT_RING_BUDGET", 1e7))
 )
 
+# optional phase profiling (round-6 measurement; zero cost when unset)
+_PROF = bool(os.environ.get("ESDA_SPARK_PROF"))
+
+
+def _prof(label: str, t0: float) -> float:
+    import sys
+    import time
+
+    t1 = time.perf_counter()
+    if _PROF:
+        print(f"[prof] {label}: {t1 - t0:.3f}s", file=sys.stderr, flush=True)
+    return t1
+
 
 def _estimate_cell_size(points: DataFrame, k: int) -> float:
     """Pick a cell size so one cell holds ~k points on average: the
@@ -106,6 +119,23 @@ def knn_edges(
     exact; only candidate generation adapts.
     """
     base = points.select("id", "x", "y")
+    # Broadcast-kernel fast path (round 6): when the point set fits the
+    # broadcast gate, the whole build — candidate generation, exact
+    # (d2, neighbor) top-k, settlement, straggler brute force — runs
+    # vectorized inside ONE mapInPandas job with zero shuffles, instead
+    # of ~10 fixed jobs of density metadata + per-round joins + window
+    # sorts.  Bit-identical results (same IEEE d2, same tie-break, same
+    # guard); the distributed path below is unchanged above the gate.
+    from esda_spark.operators.knn_incore import (
+        INCORE_MAX_TARGETS,
+        knn_edges_incore,
+    )
+
+    if INCORE_MAX_TARGETS and points.count() <= INCORE_MAX_TARGETS:
+        return knn_edges_incore(
+            base, base, k, binary=binary, exclude_self=True,
+            keep_d2=keep_d2,
+        )
     # snapshot persistent-RDD ids before any materialization this build
     # creates, so every intermediate block (quadtree labels, per-round
     # checkpoints) can be freed deterministically at the end
@@ -157,6 +187,8 @@ def _density_levels(
     """
     from esda_spark.plans.cells import cell_xy, unpack_cell
 
+    import time as _time
+    _t = _time.perf_counter()
     src = density_src.select("x", "y")
     counts0 = (
         src.withColumn("_c", cell_key(F.col("x"), F.col("y"), cell_size))
@@ -166,6 +198,7 @@ def _density_levels(
     stats0 = counts0.agg(
         F.max("count").alias("mx"), F.sum("count").alias("tot")
     ).collect()[0]
+    _t = _prof("levels.counts0", _t)
     max0 = int(stats0.mx or 0)
     n_src = int(stats0.tot or 0)
     if max0 <= density_threshold:
@@ -216,6 +249,7 @@ def _density_levels(
             .collect()[0][0]
             or 0
         )
+        _t = _prof("levels.ring_volume", _t)
     else:
         volume = 9 * n_foc * max0
     if volume <= budget:
@@ -292,6 +326,7 @@ def _density_levels(
     lvl_values = sorted(
         r["lvl"] for r in labeled.select("lvl").distinct().collect()
     )
+    _t = _prof("levels.assign+label", _t)
     levels = [(0, sparse0)] + [
         (lv, labeled.where(F.col("lvl") == lv).select("id", "x", "y"))
         for lv in lvl_values
@@ -371,6 +406,9 @@ def _knn_rounds_multi(
     results: list[DataFrame] = []
     min_rad = 1
     force_world = False
+    if _PROF:
+        import time as _time
+        _t0r = _time.perf_counter()
     for _ in range(max_rounds):
         # a straggler tail (<= 2048 focals) finishes in ONE broadcast
         # brute-force job instead of more doubling-ring rounds — each
@@ -479,10 +517,14 @@ def _knn_rounds_multi(
             .localCheckpoint(eager=False)
         )
         n_rem = unsettled.count()
+        if _PROF:
+            _t0r = _prof(f"rounds.round{len(results)} n_rem={n_rem}", _t0r)
         if n_rem == 0:
             break
         force_world = n_rem <= 2048
         min_rad *= 2
+    if _PROF:
+        _t0r = _prof(f"rounds.loop_done rounds={len(results)}", _t0r)
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
@@ -492,6 +534,8 @@ def _knn_rounds_multi(
     # RDD ids around the build and keep only the output's own blocks
     pids_mid = _pids()
     out = out.localCheckpoint(eager=True)
+    if _PROF:
+        _t0r = _prof("rounds.final_checkpoint", _t0r)
     keep = _pids() - pids_mid
     jmap = sc._jsc.getPersistentRDDs()
     for rid in (pids_mid - pids_before) - keep:
