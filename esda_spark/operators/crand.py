@@ -261,6 +261,7 @@ def conditional_randomization(
     tiles: int = 64,
     gathered: DataFrame | None = None,
     n_sites: int | None = None,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-site pseudo p-values under conditional permutation.
 
@@ -296,7 +297,19 @@ def conditional_randomization(
               the edge re-aggregation).
     n_sites:  row count of ``values`` if the caller already knows it —
               skips the count job mode="auto" otherwise runs per call.
-    Returns (id, p_sim [, moment cols] [, sims array<double>]).
+    base:     optional prebuilt site frame with AT LEAST
+              (id, observed, wlist, self_weight) — wlist the per-site
+              neighbor weights sorted by neighbor id, self_weight the
+              self-loop weight.  A local statistic that already
+              aggregates the edge table per focal (spatial lag, wi/wi2
+              moments) can emit the gathered neighborhood from the
+              SAME groupBy and hand it here: the broadcast path then
+              runs the kernel directly on it — no second edge
+              aggregation, no output join (every non-wlist column is
+              passed through next to the p columns).  Ignored by the
+              tiled path (which owns its one-exchange assembly).
+    Returns (id, p_sim [, moment cols] [, sims array<double>]), or the
+    passthrough columns + p columns when ``base`` is used.
     """
     if mode == "auto":
         if n_sites is None:
@@ -330,7 +343,17 @@ def conditional_randomization(
             scaling = (n - 1) / float((z_np[:, 0] ** 2).sum())
 
     parallelism = max(sc.defaultParallelism, 8)
-    if gathered is None:
+    passthrough = None
+    if base is not None:
+        # prebuilt site frame: the caller's focal-keyed aggregate
+        # already holds (observed, wlist, self_weight) — derive the
+        # cardinality bound from it and run the kernel directly, with
+        # every non-wlist column passed through (no output join)
+        passthrough = [f for f in base.schema.fields if f.name != "wlist"]
+        max_card = base.agg(
+            F.max(F.size("wlist"))
+        ).collect()[0][0] or 1
+    elif gathered is None:
         max_card = (
             edges.where(F.col("focal") != F.col("neighbor"))
             .groupBy("focal").count()
@@ -395,7 +418,13 @@ def conditional_randomization(
     z_bc = sc.broadcast(z_np)
     perm_bc = sc.broadcast(perm_table)
 
-    out_schema = "id long, p_sim double"
+    if passthrough is not None:
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in passthrough
+        )
+    else:
+        out_schema = "id long"
+    out_schema += ", p_sim double"
     if moments:
         out_schema += (", E_sim double, V_sim double, z_sim double,"
                        " p_z_sim double")
@@ -406,6 +435,7 @@ def conditional_randomization(
         alternative=alternative, keep=keep, permutations=permutations,
         stat_func=stat_func,
     )
+    pass_names = [f.name for f in passthrough] if passthrough else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         z = z_bc.value
@@ -421,7 +451,11 @@ def conditional_randomization(
             p_out, sims_out, e_sim, v_sim = crand_partition(
                 ids, obs, selfws, wl, z, P_full, **kw
             )
-            res = {"id": ids, "p_sim": p_out}
+            if pass_names is not None:
+                res = {c: pdf_b[c] for c in pass_names}
+            else:
+                res = {"id": ids}
+            res["p_sim"] = p_out
             if moments:
                 _moment_cols(res, obs, e_sim, v_sim)
             if kw["keep"]:

@@ -126,6 +126,55 @@ def _sim_summary(sims: np.ndarray, observed: float, prefix: str) -> dict:
 # Moran's I  (reference class Moran, moran.py:59-331)
 # ---------------------------------------------------------------------------
 
+def _value_moments(points: DataFrame, value_col: str):
+    """ONE pass over the value column: n, mu and the raw power sums
+    the centered moments derive from (round-6 job fusion — the former
+    shape paid a second sequential pass for sum(z^2)/sum(z^4))."""
+    y = F.col(value_col)
+    return points.agg(
+        F.count("*").alias("n"), F.avg(value_col).alias("mu"),
+        F.sum(y * y).alias("m2r"),
+        F.sum(y * y * y).alias("m3r"),
+        F.sum(y * y * y * y).alias("m4r"),
+    ).collect()[0]
+
+
+def _centered_moments(points: DataFrame, value_col: str, agg) -> tuple:
+    """(z2ss, z4ss) = sum((y-mu)^2), sum((y-mu)^4) via binomial
+    expansion of the raw sums, with the cancellation guard (and exact
+    second-pass fallback) moran_local already uses for its den."""
+    n, mu = int(agg.n), float(agg.mu)
+    m2r, m3r, m4r = float(agg.m2r), float(agg.m3r), float(agg.m4r)
+    z2ss = m2r - n * mu * mu
+    z4ss = m4r - 4 * mu * m3r + 6 * mu * mu * m2r - 3 * n * mu ** 4
+    ok = (
+        z2ss > 0 and z2ss > 1e-10 * abs(m2r)
+        and z4ss > 0 and z4ss > 1e-10 * abs(m4r)
+    )
+    if not ok:
+        z = F.col(value_col) - F.lit(mu)
+        z2 = z * z
+        row = points.agg(
+            F.sum(z2).alias("a"), F.sum(z2 * z2).alias("b")
+        ).collect()[0]
+        z2ss, z4ss = float(row.a), float(row.b)
+    return z2ss, z4ss
+
+
+def _edge_pair_agg(w: DataFrame, points: DataFrame, value_col: str,
+                   *aggs) -> "object":
+    """Edge-wise aggregate with the raw values broadcast onto both
+    endpoints (yf/yn) — no shuffle beyond what the transform needs."""
+    y = F.col(value_col)
+    yf = points.select(F.col("id").alias("focal"), y.alias("yf"))
+    yn = points.select(F.col("id").alias("neighbor"), y.alias("yn"))
+    return (
+        w.join(F.broadcast(yf), "focal").join(F.broadcast(yn), "neighbor")
+        .agg(*aggs)
+        .collect()[0]
+    )
+
+
 def moran(
     points: DataFrame,
     edges: DataFrame,
@@ -135,26 +184,34 @@ def moran(
     two_tailed: bool = True,
     seed: int = 12345,
 ) -> dict:
-    w = transform_weights(edges, transformation)
-    agg = points.agg(
-        F.count("*").alias("n"), F.avg(value_col).alias("mu")
-    ).collect()[0]
-    n, mu = int(agg.n), float(agg.mu)
-    zvals = points.select("id", (F.col(value_col) - F.lit(mu)).alias("z"))
-    mom = zvals.agg(
-        F.sum(F.col("z") * F.col("z")).alias("z2ss"),
-        F.sum(F.col("z") * F.col("z") * F.col("z") * F.col("z")).alias("z4ss"),
-    ).collect()[0]
-    z2ss, z4ss = float(mom.z2ss), float(mom.z4ss)
-    s = weights_summary(w)
-    s0, s1, s2 = s["s0"], s["s1"], s["s2"]
+    """Round-6 job plan: the value moments, the edge numerator and the
+    W summary are mutually independent jobs — they run concurrently
+    (guide §2.6) and the numerator uses raw values with the driver-side
+    mu correction  sum w (yf-mu)(yn-mu) = sum w yf yn
+    - mu sum w (yf+yn) + mu^2 s0,  so nothing waits on the mean.  The
+    W summary is memoized per (edges, style) — see
+    ``weights.summary_for``."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    lag = spatial_lag(w, zvals, "z")
-    inum = (
-        zvals.join(lag, "id")
-        .agg(F.sum(F.col("z") * F.col("lag")))
-        .collect()[0][0]
-    )
+    from esda_spark.operators.weights import summary_for
+
+    w = transform_weights(edges, transformation)
+    wc = F.col("weight")
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_vals = pool.submit(_value_moments, points, value_col)
+        f_edge = pool.submit(
+            _edge_pair_agg, w, points, value_col,
+            F.sum(wc * F.col("yf") * F.col("yn")).alias("pyy"),
+            F.sum(wc * (F.col("yf") + F.col("yn"))).alias("py"),
+        )
+        f_sum = pool.submit(summary_for, edges, transformation)
+        agg = f_vals.result()
+        er = f_edge.result()
+        s = f_sum.result()
+    n, mu = int(agg.n), float(agg.mu)
+    z2ss, z4ss = _centered_moments(points, value_col, agg)
+    s0, s1, s2 = s["s0"], s["s1"], s["s2"]
+    inum = float(er.pyy) - mu * float(er.py) + mu * mu * s0
     I = n / s0 * float(inum) / z2ss  # noqa: E741
 
     EI = -1.0 / (n - 1)
@@ -179,6 +236,9 @@ def moran(
         "n": n, "s0": s0, "s1": s1, "s2": s2, "z2ss": z2ss,
     }
     if permutations:
+        zvals = points.select(
+            "id", (F.col(value_col) - F.lit(mu)).alias("z")
+        )
         perm = permuted_values(zvals, "z", permutations, seed)
         sims_df = (
             _edge_rep_values(w, perm)
@@ -254,28 +314,28 @@ def geary(
     permutations: int = 0,
     seed: int = 12345,
 ) -> dict:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from esda_spark.operators.weights import summary_for
+
     w = transform_weights(edges, transformation)
-    agg = points.agg(F.count("*").alias("n"), F.avg(value_col).alias("mu")).collect()[0]
+    d = F.col("yf") - F.col("yn")
+    # value moments, edge numerator (raw y — the difference cancels
+    # the mean) and W summary are independent: one concurrent wave
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_vals = pool.submit(_value_moments, points, value_col)
+        f_edge = pool.submit(
+            _edge_pair_agg, w, points, value_col,
+            F.sum(F.col("weight") * d * d).alias("num"),
+        )
+        f_sum = pool.submit(summary_for, edges, transformation)
+        agg = f_vals.result()
+        num = float(f_edge.result().num)
+        s = f_sum.result()
     n, mu = int(agg.n), float(agg.mu)
-    yd = points.select("id", (F.col(value_col) - F.lit(mu)).alias("yd"),
-                       F.col(value_col).alias("y"))
-    mom = yd.agg(
-        F.sum(F.col("yd") * F.col("yd")).alias("yss"),
-        F.sum(F.col("yd") * F.col("yd") * F.col("yd") * F.col("yd")).alias("y4ss"),
-    ).collect()[0]
-    yss, y4ss = float(mom.yss), float(mom.y4ss)
-    s = weights_summary(w)
+    yss, y4ss = _centered_moments(points, value_col, agg)
     s0, s1, s2 = s["s0"], s["s1"], s["s2"]
     den = yss * s0 * 2.0
-
-    yf = yd.select(F.col("id").alias("focal"), F.col("y").alias("yf"))
-    yn = yd.select(F.col("id").alias("neighbor"), F.col("y").alias("yn"))
-    d = F.col("yf") - F.col("yn")
-    num = (
-        w.join(F.broadcast(yf), "focal").join(F.broadcast(yn), "neighbor")
-        .agg(F.sum(F.col("weight") * d * d))
-        .collect()[0][0]
-    )
     C = (n - 1) * float(num) / den
 
     n2 = n * n
@@ -297,6 +357,7 @@ def geary(
         "p_norm": p_norm, "p_rand": p_rand, "n": n, "s0": s0,
     }
     if permutations:
+        yd = points.select("id", F.col(value_col).alias("y"))
         perm = permuted_values(yd, "y", permutations, seed)
         dd = F.col("zf") - F.col("zn")
         sims_df = (
@@ -322,23 +383,35 @@ def getis_g(
     permutations: int = 0,
     seed: int = 12345,
 ) -> dict:
+    from concurrent.futures import ThreadPoolExecutor
+
+    from esda_spark.operators.weights import summary_for
+
     w = transform_weights(edges, "B")
     yv = points.select("id", F.col(value_col).alias("y"))
-    agg = yv.agg(
-        F.count("*").alias("n"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).alias("sy2"),
-        F.sum(F.col("y") * F.col("y") * F.col("y")).alias("sy3"),
-        F.sum(F.col("y") * F.col("y") * F.col("y") * F.col("y")).alias("sy4"),
-    ).collect()[0]
+    yc = F.col("y")
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_vals = pool.submit(
+            lambda: yv.agg(
+                F.count("*").alias("n"),
+                F.sum("y").alias("sy"),
+                F.sum(yc * yc).alias("sy2"),
+                F.sum(yc * yc * yc).alias("sy3"),
+                F.sum(yc * yc * yc * yc).alias("sy4"),
+            ).collect()[0]
+        )
+        f_edge = pool.submit(
+            _edge_pair_agg, w, points, value_col,
+            F.sum(F.col("weight") * F.col("yf") * F.col("yn")).alias("num"),
+        )
+        f_sum = pool.submit(summary_for, edges, "B")
+        agg = f_vals.result()
+        num = float(f_edge.result().num)
+        s = f_sum.result()
     n = int(agg.n)
     sy, sy2, sy3, sy4 = map(float, (agg.sy, agg.sy2, agg.sy3, agg.sy4))
-    s = weights_summary(w)
     s0, s1, s2 = s["s0"], s["s1"], s["s2"]
     den_sum = sy * sy - sy2
-
-    lag = spatial_lag(w, yv, "y")
-    num = yv.join(lag, "id").agg(F.sum(F.col("y") * F.col("lag"))).collect()[0][0]
     G = float(num) / den_sum
 
     n2 = n * n

@@ -35,6 +35,141 @@ def _edge_moments(edges: DataFrame) -> DataFrame:
     )
 
 
+def _fused_site_frame(edges: DataFrame, values: DataFrame,
+                      value_col: str, transformation: str) -> DataFrame:
+    """ONE exchange producing everything a crand-backed local
+    statistic needs per site: the value column, the spatial lag, the
+    wi/wi2 row moments AND the conditional-randomization neighborhood
+    (neighbor weights sorted by neighbor id + the self-loop weight).
+
+    Round-6 shape (guide §2.4): neighbor values attach to the RAW edge
+    table by a broadcast join (map-side), value rows ride the same
+    keyed exchange as marker rows, and one groupBy(id) — reusing the
+    pinned repartition's partitioning — aggregates it all.  For
+    R/B/O transforms the weight transform happens INSIDE the
+    aggregate (R: aggregate raw sums, divide by the row sum after —
+    each wlist element is the identical single division w/rowsum the
+    windowed transform produced, so kernel inputs stay bit-identical);
+    the former shape paid a window (exchange + sort) for the
+    transform plus three separate focal aggregates and a join.
+    D/V transforms pre-transform and aggregate as 'O'."""
+    style = transformation.upper()
+    if style not in ("R", "B", "O"):
+        edges = transform_weights(edges, style)
+        style = "O"
+    spark = values.sparkSession
+    parallelism = max(spark.sparkContext.defaultParallelism, 8)
+    wcol = F.lit(1.0) if style == "B" else F.col("weight").cast("double")
+    vn = values.select(
+        F.col("id").alias("neighbor"), F.col(value_col).alias("_vn")
+    )
+    dnull = F.lit(None).cast("double")
+    edge_rows = edges.join(F.broadcast(vn), "neighbor").select(
+        F.col("focal").alias("id"), F.col("neighbor"),
+        wcol.alias("w"), F.col("_vn"), dnull.alias("_z"),
+    )
+    val_rows = values.select(
+        "id", F.lit(None).cast("long").alias("neighbor"),
+        dnull.alias("w"), dnull.alias("_vn"),
+        F.col(value_col).alias("_z"),
+    )
+    g = (
+        edge_rows.unionByName(val_rows)
+        .repartition(parallelism, "id")
+        .groupBy("id")
+        .agg(
+            F.max("_z").alias(value_col),
+            F.coalesce(F.sum(F.col("w") * F.col("_vn")), F.lit(0.0))
+            .alias("_lag"),
+            F.coalesce(F.sum("w"), F.lit(0.0)).alias("_wi"),
+            F.coalesce(F.sum(F.col("w") * F.col("w")), F.lit(0.0))
+            .alias("_wi2"),
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN neighbor"
+                " IS NOT NULL AND neighbor != id THEN struct(neighbor,"
+                " w) END)), s -> s.w)"
+            ).alias("_wl"),
+            F.coalesce(
+                F.max(F.when(F.col("neighbor") == F.col("id"),
+                             F.col("w"))),
+                F.lit(0.0),
+            ).alias("_sw"),
+        )
+        .where(F.col(value_col).isNotNull())
+    )
+    if style == "R":
+        rs = F.col("_wi")
+        safe = F.when(rs != 0.0, rs).otherwise(F.lit(1.0))
+        g = g.select(
+            "id", value_col,
+            (F.col("_lag") / safe).alias("lag"),
+            (F.col("_wi") / safe).alias("wi"),
+            (F.col("_wi2") / (safe * safe)).alias("wi2"),
+            F.expr("transform(_wl, x -> x / (CASE WHEN _wi <> 0.0 THEN"
+                   " _wi ELSE 1.0 END))").alias("wlist"),
+            (F.col("_sw") / safe).alias("self_weight"),
+        )
+    else:
+        g = g.select(
+            "id", value_col,
+            F.col("_lag").alias("lag"), F.col("_wi").alias("wi"),
+            F.col("_wi2").alias("wi2"), F.col("_wl").alias("wlist"),
+            F.col("_sw").alias("self_weight"),
+        )
+    return g
+
+
+def _crand_on_base(
+    base: DataFrame,
+    values: DataFrame,
+    w: DataFrame,
+    obs_col: str,
+    stat_func: str,
+    permutations: int,
+    seed: int,
+    scaling: float,
+    alternative: str,
+    keep: bool,
+    moments: bool,
+    n: int,
+    out_cols: list[str],
+) -> DataFrame:
+    """Run conditional randomization on a fused site frame.
+
+    Broadcast regime: the checkpointed base (with its wlist) feeds the
+    kernel directly and every output column rides along — no second
+    edge aggregation, no output join.  ``base`` must already be
+    partitioned for the kernel (the fused frame's pinned
+    REPARTITION_BY_NUM — AQE would otherwise coalesce the tiny shuffle
+    to one task and run the whole permutation kernel serially).
+    Tiled regime (beyond the broadcast gate): classic path — crand
+    assembles its own one-exchange tile base; the p columns join back
+    by id."""
+    from esda_spark.operators.crand import _AUTO_TILED_ROWS
+
+    if n < _AUTO_TILED_ROWS:
+        bk = (
+            base.select(
+                *out_cols, F.col(obs_col).alias("observed"),
+                "wlist", "self_weight",
+            )
+            .localCheckpoint(eager=True)
+        )
+        res = conditional_randomization(
+            values, w, None, stat_func, permutations=permutations,
+            seed=seed, scaling=scaling, alternative=alternative,
+            keep=keep, moments=moments, n_sites=n, mode="broadcast",
+            base=bk,
+        )
+        return res.drop("observed", "self_weight")
+    p = conditional_randomization(
+        values, w, base.select("id", F.col(obs_col).alias("observed")),
+        stat_func, permutations=permutations, seed=seed, scaling=scaling,
+        alternative=alternative, keep=keep, moments=moments, n_sites=n,
+    )
+    return base.select(*out_cols).join(p, "id", "left")
+
+
 def _norm_sf_col(df: DataFrame, z_col: str, out: str) -> DataFrame:
     """p = norm.sf(|z|) as an Arrow-batched column."""
 
@@ -91,10 +226,13 @@ def moran_local(
         c4 = float(zvals.agg(F.sum(z2c * z2c)).collect()[0][0]) * sd**4
     z4ss = c4 / sd**4
     w = transform_weights(edges, transformation)
-    lag = spatial_lag(w, zvals, "z")
-    base = zvals.join(lag, "id", "left").withColumn(
-        "lag", F.coalesce("lag", F.lit(0.0))
-    )
+    # ONE exchange (round 6): the spatial lag, the wi/wi2 moments AND
+    # the crand neighborhood gather (sorted wlist + self_weight) come
+    # out of a single union + groupBy with the transform applied
+    # in-aggregate — the former shape ran a window transform plus
+    # three separate focal aggregates (lag, _edge_moments, the crand
+    # base) and joined the permutation output back at the end.
+    base = _fused_site_frame(edges, zvals, "z", transformation)
     q1, q2, q3, q4 = (1, 3, 2, 4) if geoda_quads else (1, 2, 3, 4)
     base = base.withColumn(
         "Is", F.lit(n - 1) * F.col("z") * F.col("lag") / F.lit(den)
@@ -107,8 +245,6 @@ def moran_local(
     )
     # analytic moments (moran.py:1424-1468); m2 = den/n
     m2 = den / n
-    mom = _edge_moments(w)
-    base = base.join(mom, "id", "left").fillna({"wi": 0.0, "wi2": 0.0})
     z2 = F.col("z") * F.col("z")
     base = (
         base.withColumn("EIc", -(z2 * F.col("wi")) / F.lit((n - 1) * m2))
@@ -129,14 +265,15 @@ def moran_local(
         - (F.col("wi") / F.lit(n - 1.0)) * (F.col("wi") / F.lit(n - 1.0)),
     )
     if permutations:
-        p = conditional_randomization(
-            zvals, w, base.select("id", F.col("Is").alias("observed")),
-            "moran_local", permutations=permutations, seed=seed,
-            scaling=(n - 1) / den, alternative=alternative,
-            keep=keep_simulations, moments=moments, n_sites=n,
+        return _crand_on_base(
+            base, zvals, w, "Is", "moran_local",
+            permutations=permutations, seed=seed, scaling=(n - 1) / den,
+            alternative=alternative, keep=keep_simulations,
+            moments=moments, n=n,
+            out_cols=["id", "z", "lag", "Is", "q", "EIc", "VIc",
+                      "EI", "VI"],
         )
-        base = base.join(p, "id", "left")
-    return base.drop("wi", "wi2")
+    return base.drop("wi", "wi2", "wlist", "self_weight")
 
 
 def moran_local_bv(
@@ -289,12 +426,7 @@ def g_local(
     n, y_sum, y2_sum = int(agg.n), float(agg.sy), float(agg.sy2)
     remove_self = 0 if star else 1
     N = n - remove_self
-    lag = spatial_lag(w, yv, "y")
-    card = _edge_moments(w)  # wi = cardinality under binary / row sums
-    base = (
-        yv.join(lag, "id", "left").withColumn("lag", F.coalesce("lag", F.lit(0.0)))
-        .join(card, "id", "left").fillna({"wi": 0.0, "wi2": 0.0})
-    )
+    base = _fused_site_frame(edges, yv, "y", transform)
     base = base.withColumn(
         "Gs", F.col("lag") / (F.lit(y_sum) - F.col("y") * F.lit(remove_self))
     )
@@ -312,15 +444,15 @@ def g_local(
     )
     base = _norm_sf_col(base, "Zs", "p_norm")
     if permutations:
-        p = conditional_randomization(
-            yv.select("id", F.col("y").alias("z")), w,
-            base.select("id", F.col("Gs").alias("observed")),
+        return _crand_on_base(
+            base, yv.select("id", F.col("y").alias("z")), w, "Gs",
             "g_local_star" if star else "g_local",
             permutations=permutations, seed=seed, scaling=y_sum,
-            alternative=alternative, moments=moments, n_sites=n,
+            alternative=alternative, keep=False, moments=moments, n=n,
+            out_cols=["id", "y", "lag", "Gs", "EGs", "VGs", "Zs",
+                      "p_norm"],
         )
-        base = base.join(p, "id", "left")
-    return base.drop("wi", "wi2")
+    return base.drop("wi", "wi2", "wlist", "self_weight")
 
 
 # ---------------------------------------------------------------------------

@@ -648,43 +648,83 @@ def weights_summary(edges: DataFrame) -> dict[str, float]:
     s0 = sum w_ij;  s1 = 1/2 sum (w_ij + w_ji)^2;
     s2 = sum_i (row_sum_i + col_sum_i)^2.
 
-    Fused one-pass s1 (no transpose self-join): edges group on the
-    UNORDERED key (least, greatest) so w_ij and w_ji land in the same
-    group and (w_ij + w_ji)^2 is the squared group sum — one
-    map-side-combinable aggregate instead of a full-outer join against
-    the reversed edge set.  Self-loops contribute 2*w_ii^2 and are
-    folded into the same pass.
+    Round-6 shape: TWO jobs run concurrently (guide §2.6) instead of
+    the former three sequential collects —
+
+    - s0 + s1 from ONE unordered-pair aggregate: w_ij and w_ji land in
+      the same (least, greatest) group, so s0 is the sum of group sums
+      and s1 the sum of squared group sums (2*ws^2 for the a == b
+      self-loop groups, matching (2 w_ii)^2 / 2).
+    - s2 from a node-union aggregate: (focal, w) union (neighbor, w)
+      grouped by node gives row_sum + col_sum in one map-side
+      combinable pass — no rowsums x colsums full-outer join.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     e = edges.select("focal", "neighbor", "weight")
-    base = e.agg(
-        F.sum("weight").alias("s0"),
-        F.sum(
-            F.when(F.col("focal") == F.col("neighbor"),
-                   2.0 * F.col("weight") * F.col("weight")).otherwise(0.0)
-        ).alias("s1_diag"),
-    ).collect()[0]
-    off = (
-        e.where(F.col("focal") != F.col("neighbor"))
-        .groupBy(
-            F.least("focal", "neighbor").alias("a"),
-            F.greatest("focal", "neighbor").alias("b"),
+
+    def _s0s1() -> tuple[float, float]:
+        row = (
+            e.groupBy(
+                F.least("focal", "neighbor").alias("a"),
+                F.greatest("focal", "neighbor").alias("b"),
+            )
+            .agg(F.sum("weight").alias("ws"))
+            .agg(
+                F.sum("ws").alias("s0"),
+                F.sum(
+                    F.when(F.col("a") == F.col("b"),
+                           2.0 * F.col("ws") * F.col("ws"))
+                    .otherwise(F.col("ws") * F.col("ws"))
+                ).alias("s1"),
+            )
+            .collect()[0]
         )
-        .agg(F.sum("weight").alias("ws"))
-        .agg(F.sum(F.col("ws") * F.col("ws")))
-        .collect()[0][0]
-    )
-    s0 = float(base.s0)
-    s1 = float(base.s1_diag) + float(off or 0.0)
-    rows = edges.groupBy("focal").agg(F.sum("weight").alias("rw")).withColumnRenamed("focal", "node")
-    cols = (
-        edges.groupBy("neighbor").agg(F.sum("weight").alias("cw"))
-        .withColumnRenamed("neighbor", "node")
-    )
-    both = rows.join(cols, "node", "full_outer").select(
-        (F.coalesce("rw", F.lit(0.0)) + F.coalesce("cw", F.lit(0.0))).alias("t")
-    )
-    s2 = both.agg(F.sum(F.col("t") * F.col("t"))).collect()[0][0]
-    return {"s0": float(s0), "s1": float(s1), "s2": float(s2)}
+        return float(row.s0), float(row.s1)
+
+    def _s2() -> float:
+        t = (
+            e.select(F.col("focal").alias("node"), "weight")
+            .unionByName(e.select(F.col("neighbor").alias("node"), "weight"))
+            .groupBy("node")
+            .agg(F.sum("weight").alias("t"))
+        )
+        return float(t.agg(F.sum(F.col("t") * F.col("t"))).collect()[0][0])
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f01 = pool.submit(_s0s1)
+        f2 = pool.submit(_s2)
+        s0, s1 = f01.result()
+        s2 = f2.result()
+    return {"s0": s0, "s1": s1, "s2": s2}
+
+
+# Per-(edges DataFrame, transform style) memo of the W summary scalars
+# — the libpysal ``W.s0/s1/s2`` cached-attribute behavior: a session
+# computing several statistics over ONE weight structure (the entry
+# runs moran+geary+getis on the same kNN W) pays the summary jobs
+# once.  Keyed weakly on the edges DataFrame OBJECT (never on input
+# paths); DataFrames are immutable, and the entry dies with the
+# session.
+import weakref
+
+_SUMMARY_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def summary_for(edges: DataFrame, style: str) -> dict[str, float]:
+    """weights_summary(transform_weights(edges, style)), memoized per
+    (edges object, style)."""
+    per_df = _SUMMARY_CACHE.get(edges)
+    if per_df is None:
+        per_df = {}
+        try:
+            _SUMMARY_CACHE[edges] = per_df
+        except TypeError:  # non-weakrefable edge container
+            return weights_summary(transform_weights(edges, style))
+    key = style.upper()
+    if key not in per_df:
+        per_df[key] = weights_summary(transform_weights(edges, style))
+    return per_df[key]
 
 
 def cardinalities(edges: DataFrame) -> DataFrame:
