@@ -16,6 +16,7 @@ join; the entropies are plain grouped aggregates of p·log p.
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -24,6 +25,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from esda_spark.plans.cells import pack_cell, with_cell
+
+# Ring-count gate below which the polygon layer's geometry is
+# broadcast to the PIP refine kernel as a dict instead of riding every
+# candidate row: the cell join then carries only (id, x, y, poly_id)
+# into Python — the xs/ys arrays crossed the Arrow boundary once per
+# CANDIDATE before (guide §4.1: pass only the columns the function
+# needs).  200k rings ≈ tens of MB broadcast; above it the original
+# carry-the-arrays path applies unchanged.
+_PIP_BCAST_RINGS = int(
+    float(os.environ.get("ESDA_SPARK_PIP_BCAST_RINGS", 200_000))
+)
 
 
 def _poly_cells(polygons: DataFrame, cell_size: float) -> DataFrame:
@@ -77,6 +89,74 @@ def point_in_polygon(
     """
     idc, xc, yc = point_cols
     pts = with_cell(points.select(idc, xc, yc), cell_size)
+    rings_pdf = None
+    if _PIP_BCAST_RINGS:
+        # one probe job doubles as the gate AND the geometry collect
+        # (limit threshold+1: an oversized layer falls through to the
+        # carry-the-arrays path without a separate count job)
+        rings_pdf = (
+            polygons.select("poly_id", "xs", "ys")
+            .limit(_PIP_BCAST_RINGS + 1).toPandas()
+        )
+        if len(rings_pdf) > _PIP_BCAST_RINGS:
+            rings_pdf = None
+    if rings_pdf is not None:
+        # broadcast-rings fast path: geometry crosses to Python once,
+        # candidates carry only (id, x, y, poly_id), and the kernel
+        # ray-casts each poly group against ONE (V,) ring instead of a
+        # per-row padded (m, V) copy.  Same even-odd arithmetic, same
+        # output rows.
+        spark = points.sparkSession
+        rings = {
+            int(p): (np.asarray(a, dtype=np.float64),
+                     np.asarray(b, dtype=np.float64))
+            for p, a, b in zip(rings_pdf["poly_id"], rings_pdf["xs"],
+                               rings_pdf["ys"])
+        }
+        bc = spark.sparkContext.broadcast(rings)
+        pc = _poly_cells(polygons, cell_size).select("cell", "poly_id")
+        cand = pts.join(F.broadcast(pc), "cell").select(
+            idc, xc, yc, "poly_id"
+        )
+
+        def refine_bc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            R = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = pdf["poly_id"].to_numpy(np.int64)
+                px = pdf[xc].to_numpy(np.float64)
+                py = pdf[yc].to_numpy(np.float64)
+                ids = pdf[idc].to_numpy(np.int64)
+                order = np.argsort(pid, kind="stable")
+                ps = pid[order]
+                starts = np.nonzero(np.r_[True, ps[1:] != ps[:-1]])[0]
+                bounds = np.r_[starts, len(ps)]
+                out_i, out_p = [], []
+                for gi in range(len(starts)):
+                    rows = order[bounds[gi]:bounds[gi + 1]]
+                    x1, y1 = R[int(ps[bounds[gi]])]
+                    x2 = np.roll(x1, -1)
+                    y2 = np.roll(y1, -1)
+                    pyc = py[rows][:, None]
+                    pxc = px[rows][:, None]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        crosses = ((y1 > pyc) != (y2 > pyc)) & (
+                            pxc < (x2 - x1) * (pyc - y1) / (y2 - y1) + x1
+                        )
+                    inside = (crosses.sum(axis=1) % 2) == 1
+                    sel = rows[inside]
+                    out_i.append(ids[sel])
+                    out_p.append(pid[sel])
+                yield pd.DataFrame({
+                    "id": np.concatenate(out_i) if out_i else
+                    np.empty(0, np.int64),
+                    "poly_id": np.concatenate(out_p) if out_p else
+                    np.empty(0, np.int64),
+                })
+
+        return cand.mapInPandas(refine_bc, schema="id long, poly_id long")
+
     pc = _poly_cells(polygons, cell_size).select("cell", "poly_id", "xs", "ys")
     cand = pts.join(pc, "cell").select(idc, xc, yc, "poly_id", "xs", "ys")
 
