@@ -70,26 +70,23 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _incore_components(e: DataFrame) -> DataFrame:
-    """Driver-side components for small edge sets: vectorized
+def incore_components_arrays(
+    u: np.ndarray, v: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(nodes, component) for an edge array pair: vectorized
     hook-to-minimum + pointer jumping over a dense node relabeling —
-    O(E log V) numpy work, zero Spark rounds.  Node ids stay arbitrary
-    int64 (ADBSCAN's composite ids included); roots are the minimum
-    node id per component because hooks always point at the smaller
-    root and ``nodes`` is sorted."""
-    spark = e.sparkSession
-    pdf = e.select("u", "v").toPandas()
-    if len(pdf) == 0:
-        return spark.createDataFrame([], "id long, component long")
-    u = pdf["u"].to_numpy(np.int64)
-    v = pdf["v"].to_numpy(np.int64)
+    O(E log V) numpy work.  Node ids stay arbitrary int64; roots are
+    the minimum node id per component because hooks always point at
+    the smaller root and ``nodes`` is sorted."""
     nodes = np.unique(np.concatenate([u, v]))
     ui = np.searchsorted(nodes, u)
     vi = np.searchsorted(nodes, v)
     parent = np.arange(len(nodes), dtype=np.int64)
+    converged = False
     for _ in range(64):  # ceil(log2 V) rounds suffice
         pu, pv = parent[ui], parent[vi]
         if not (pu != pv).any():
+            converged = True
             break
         np.minimum.at(parent, np.maximum(pu, pv), np.minimum(pu, pv))
         while True:  # full path compression each round
@@ -97,7 +94,27 @@ def _incore_components(e: DataFrame) -> DataFrame:
             if (pp == parent).all():
                 break
             parent = pp
-    out = pd.DataFrame({"id": nodes, "component": nodes[parent]})
+    if not converged:
+        # mirror the distributed path's posture: never emit labels
+        # from an unconverged edge set (ADVICE r5)
+        raise RuntimeError(
+            "incore_components_arrays did not converge within 64 "
+            "hooking rounds — file a bug (log2(V) rounds suffice)"
+        )
+    return nodes, nodes[parent]
+
+
+def _incore_components(e: DataFrame) -> DataFrame:
+    """Driver-side components for small edge sets (see
+    :func:`incore_components_arrays`)."""
+    spark = e.sparkSession
+    pdf = e.select("u", "v").toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], "id long, component long")
+    nodes, comp = incore_components_arrays(
+        pdf["u"].to_numpy(np.int64), pdf["v"].to_numpy(np.int64)
+    )
+    out = pd.DataFrame({"id": nodes, "component": comp})
     return spark.createDataFrame(out)
 
 

@@ -263,7 +263,10 @@ def hyperplane_signatures(
     Arrow pass).  ``num_tables > 1`` is OR-amplification: each table is
     an independent plane set; candidates union across tables, which
     trades candidate volume for recall without lengthening any single
-    signature."""
+    signature.  (Round-6 note: carrying the vectors back out of the
+    kernel next to each bucket row was tried and measured 4x SLOWER
+    than the vec_id equi-join it replaced — per-row array conversion
+    at the Python->JVM Arrow boundary dwarfs a broadcast hash join.)"""
     planes = np.random.default_rng(seed).normal(
         size=(num_tables, num_planes, dim)
     )
@@ -345,9 +348,6 @@ def lsh_topk(
         raise ValueError("multiprobe must be 0 or 1 (Hamming probe radius)")
     if num_planes is None:
         num_planes = auto_num_planes(embeddings.count())
-    corpus_sig = hyperplane_signatures(
-        embeddings, dim, num_planes, seed, id_col, vec_col, num_tables
-    )
     query_sig = hyperplane_signatures(
         queries.select(F.col(query_id_col).alias("vec_id"),
                        F.col(vec_col)),
@@ -365,6 +365,9 @@ def lsh_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).join(query_sig, "query_id")
+    corpus_sig = hyperplane_signatures(
+        embeddings, dim, num_planes, seed, id_col, vec_col, num_tables
+    )
     c = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     ).join(corpus_sig, "vec_id")
@@ -720,7 +723,95 @@ def near_dup_groups(
     collects anywhere, so the whole pipeline holds at corpus scale.
     mode="exact" (all-pairs) exists for validation and small inputs.
     """
-    from esda_spark.operators.components import connected_components
+    import os
+
+    from esda_spark.operators.components import (
+        connected_components,
+        incore_components_arrays,
+    )
+
+    spark = embeddings.sparkSession
+
+    def _groups_df(comp_map_df):
+        ids = embeddings.select(F.col(id_col).alias("vec_id"))
+        return (
+            ids.join(comp_map_df, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce("component", F.col("vec_id")).alias("group_id"),
+                F.when(
+                    F.coalesce("component", F.col("vec_id"))
+                    == F.col("vec_id"), 1,
+                ).otherwise(0).alias("is_canonical"),
+            )
+        )
+
+    gate = int(float(os.environ.get("ESDA_SPARK_DEDUP_INCORE_PAIRS",
+                                    200_000)))
+    if mode == "lsh" and gate:
+        # in-core fast path (components-operator precedent): bucket
+        # candidates are id pairs only (one signature materialization,
+        # no embedding arrays through the self-join); the exact cosine
+        # verify, the transitive closure and the canonical selection
+        # run on the driver from two bounded collects.
+        e = embeddings.select(F.col(id_col).alias("vec_id"),
+                              F.col(vec_col))
+        d = dim or len(e.select(vec_col).first()[0])
+        sig = hyperplane_signatures(
+            e, d, num_planes, seed, "vec_id", vec_col, num_tables
+        ).localCheckpoint(eager=True)
+        a = sig.select(F.col("vec_id").alias("vec_a"), "table", "bucket")
+        b = sig.select(F.col("vec_id").alias("vec_b"), "table", "bucket")
+        # raw bucket-pair rows (dups deduped driver-side — cheaper
+        # than a distinct exchange; the gate bounds the collect at
+        # num_tables x distinct pairs)
+        cand_pdf = (
+            a.join(b, ["table", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b")
+            .limit(gate * num_tables + 1).toPandas()
+        )
+        if len(cand_pdf) <= gate * num_tables:
+            ids = embeddings.select(F.col(id_col).alias("vec_id"))
+            if len(cand_pdf) == 0:
+                return ids.select(
+                    "vec_id", F.col("vec_id").alias("group_id"),
+                    F.lit(1).alias("is_canonical"),
+                )
+            pairs_np = np.unique(np.stack([
+                cand_pdf["vec_a"].to_numpy(np.int64),
+                cand_pdf["vec_b"].to_numpy(np.int64),
+            ], axis=1), axis=0)
+            ua, va = pairs_np[:, 0], pairs_np[:, 1]
+            cids = np.unique(np.concatenate([ua, va]))
+            cid_df = spark.createDataFrame(
+                [(int(i),) for i in cids], "vec_id long"
+            )
+            vec_pdf = e.join(F.broadcast(cid_df), "vec_id",
+                             "left_semi").toPandas()
+            vid = vec_pdf["vec_id"].to_numpy(np.int64)
+            V = np.vstack(vec_pdf[vec_col].to_numpy()).astype(np.float64)
+            V /= np.maximum(
+                np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+            )
+            order = np.argsort(vid)
+            vid, V = vid[order], V[order]
+            ai = np.searchsorted(vid, ua)
+            bi = np.searchsorted(vid, va)
+            sims = (V[ai] * V[bi]).sum(axis=1)
+            keep = sims >= threshold
+            if not keep.any():
+                return ids.select(
+                    "vec_id", F.col("vec_id").alias("group_id"),
+                    F.lit(1).alias("is_canonical"),
+                )
+            nodes, comp = incore_components_arrays(ua[keep], va[keep])
+            comp_df = spark.createDataFrame(
+                [(int(n), int(c)) for n, c in zip(nodes, comp)],
+                "vec_id long, component long",
+            )
+            return _groups_df(F.broadcast(comp_df))
+        # gate exceeded: fall through to the distributed closure
 
     pairs = embedding_near_dup_pairs(
         embeddings, threshold=threshold, mode=mode, dim=dim,
@@ -728,15 +819,4 @@ def near_dup_groups(
         id_col=id_col, vec_col=vec_col,
     )
     comp = connected_components(pairs, src="vec_a", dst="vec_b")
-    ids = embeddings.select(F.col(id_col).alias("vec_id"))
-    return (
-        ids.join(comp.withColumnRenamed("id", "vec_id"), "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce("component", F.col("vec_id")).alias("group_id"),
-            F.when(
-                F.coalesce("component", F.col("vec_id"))
-                == F.col("vec_id"), 1,
-            ).otherwise(0).alias("is_canonical"),
-        )
-    )
+    return _groups_df(comp.withColumnRenamed("id", "vec_id"))

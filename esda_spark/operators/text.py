@@ -140,28 +140,39 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id", shingle_n: int = 3,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): exact shingle-set Jaccard for candidate
-    pairs — the verify step after LSH."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(F.col(text_col), shingle_n)).alias("sh"),
-    ).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.withColumnRenamed("doc_id", "doc_a")
-    b = sh.withColumnRenamed("doc_id", "doc_b")
-    inter = (
-        pairs.join(a, "doc_a").join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    pairs — the verify step after LSH.
+
+    Round-6 shape: docs are semi-joined down to the ids the candidate
+    pairs actually touch BEFORE tokenization, each surviving doc's
+    distinct shingle set stays an ARRAY (``shingles_col`` already
+    dedups), and the intersection is ``array_intersect`` on the joined
+    pair row.  The former shape exploded + distinct-shuffled the whole
+    corpus' shingle strings and re-aggregated per pair — several
+    corpus-sized exchanges for a candidates-sized question.  Same
+    exact string-set intersection, same jaccard.
+    """
+    ids_a = pairs.select(F.col("doc_a").alias("doc_id"))
+    ids_b = pairs.select(F.col("doc_b").alias("doc_id"))
+    cand_ids = ids_a.unionByName(ids_b).distinct()
+    sets = (
+        docs.join(cand_ids, docs[id_col] == cand_ids["doc_id"],
+                  "left_semi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles_col(F.col(text_col), shingle_n).alias("shs"),
+        )
     )
+    a = sets.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shs").alias("sha"))
+    b = sets.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shs").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
-                   .withColumnRenamed("sz", "sza"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-              .withColumnRenamed("sz", "szb"), "doc_b")
+        pairs.join(a, "doc_a").join(b, "doc_b")
         .select(
             "doc_a", "doc_b",
-            (F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter"))
-             ).alias("jaccard"),
+            (inter / (F.size("sha") + F.size("shb") - inter))
+            .alias("jaccard"),
         )
     )
 
@@ -366,10 +377,94 @@ def minhash_dedup_groups(
     edges — near-dup edge sets are sparse by construction since LSH
     thresholds candidate volume).
     """
-    from esda_spark.operators.components import connected_components
+    import os
 
-    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    import numpy as np
+
+    from esda_spark.operators.components import (
+        connected_components,
+        incore_components_arrays,
+    )
+
+    spark = docs.sparkSession
+    # the banding self-join references the signature pipeline on BOTH
+    # sides (different output aliases defeat exchange reuse), so the
+    # 16-way h60 signature pass would run twice — materialize it once
+    sig = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sig, num_hashes=num_hashes, bands=bands)
+    # In-core fast path (the components-operator precedent): candidate
+    # sets are LSH-thresholded — tiny relative to the corpus — so
+    # below the gate the verify (exact shingle-set jaccard), the
+    # transitive closure and the canonical selection all run on the
+    # driver from TWO collects (pairs; candidate docs' shingle sets),
+    # and only the final per-doc broadcast join stays distributed.
+    gate = int(float(os.environ.get("ESDA_SPARK_DEDUP_INCORE_PAIRS",
+                                    200_000)))
+    cand_pdf = cand.limit(gate + 1).toPandas() if gate else None
+    if cand_pdf is not None and len(cand_pdf) <= gate:
+        ids = docs.select(F.col(id_col).alias("doc_id"))
+        if len(cand_pdf) == 0:
+            return ids.select(
+                "doc_id", F.col("doc_id").alias("group_id"),
+                F.lit(1).alias("is_canonical"),
+            )
+        cids = np.unique(np.concatenate([
+            cand_pdf["doc_a"].to_numpy(np.int64),
+            cand_pdf["doc_b"].to_numpy(np.int64),
+        ]))
+        cid_df = spark.createDataFrame(
+            [(int(i),) for i in cids], "doc_id long"
+        )
+        sets_pdf = (
+            docs.join(F.broadcast(cid_df),
+                      docs[id_col] == cid_df["doc_id"], "left_semi")
+            .select(
+                F.col(id_col).alias("doc_id"),
+                shingles_col(F.col(text_col), shingle_n).alias("shs"),
+            )
+            .toPandas()
+        )
+        sets = {
+            int(d): frozenset(s)
+            for d, s in zip(sets_pdf["doc_id"], sets_pdf["shs"])
+        }
+        ua, va = [], []
+        for a, b in zip(cand_pdf["doc_a"], cand_pdf["doc_b"]):
+            sa, sb = sets[int(a)], sets[int(b)]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= threshold:
+                ua.append(int(a))
+                va.append(int(b))
+        if not ua:
+            return ids.select(
+                "doc_id", F.col("doc_id").alias("group_id"),
+                F.lit(1).alias("is_canonical"),
+            )
+        nodes, comp = incore_components_arrays(
+            np.asarray(ua, dtype=np.int64), np.asarray(va, dtype=np.int64)
+        )
+        comp_df = spark.createDataFrame(
+            [(int(n), int(c)) for n, c in zip(nodes, comp)],
+            "doc_id long, component long",
+        )
+        return (
+            ids.join(F.broadcast(comp_df), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("component", F.col("doc_id")).alias("group_id"),
+                F.when(
+                    F.coalesce("component", F.col("doc_id"))
+                    == F.col("doc_id"), 1,
+                ).otherwise(0).alias("is_canonical"),
+            )
+        )
+
+    # distributed path (above the gate, or gate disabled): checkpoint
+    # the candidates — the verify references them three times
+    cand = cand.localCheckpoint(eager=True)
     verified = (
         ngram_jaccard_pairs(docs, cand, text_col, id_col, shingle_n)
         .where(F.col("jaccard") >= threshold)
