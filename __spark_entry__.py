@@ -974,11 +974,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlogram_knn": correlogram_knn_q,
         "g_local_star_observed": g_local_star_observed,
         "age_adjusted_smoother": age_adjusted_smoother_q,
-        "weighted_median_rate": weighted_median_rate_q,
+        # round-6 rotation (VERDICT r5 item 2): paragraph_dedup — the
+        # one oracle-backed query with no driver-scored history —
+        # takes weighted_median_rate's slot; the displaced query has
+        # green r4+r5 driver rows and stays CI-swept like every
+        # oracle key.  Order-only change: the query set and every
+        # oracle SQL text are untouched.
+        "paragraph_dedup": paragraph_dedup_q,
         # --- end of the driver's 50-query scoring window ---
-        # (ann_topk and spatial_median_rate sit just past the cutoff
-        # since the round-5 dedup-group queries rotated in; both have
-        # green r4 driver rows and stay CI-swept like every oracle key)
+        # (ann_topk, spatial_median_rate and weighted_median_rate sit
+        # just past the cutoff; all have green driver history and stay
+        # CI-swept like every oracle key)
+        "weighted_median_rate": weighted_median_rate_q,
         "ann_topk": ann_topk,
         "spatial_median_rate": spatial_median_rate_q,
         "weights_rowstd": weights_rowstd,
@@ -995,7 +1002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "age_standardization": age_std_q,
         "moran_bv_matrix": moran_bv_matrix_q,
         "silhouette_alist": silhouette_q,
-        "paragraph_dedup": paragraph_dedup_q,
         # non-oracle (seeded permutation / ANN / iterative) — rows-only
         "lisa_full": lisa_full,
         "lisa_pipeline_resume": lisa_pipeline_resume,

@@ -203,6 +203,48 @@ def profile_ann() -> None:
         cemb, cq, centers, k=10, nprobe=4).count())
 
 
+def ivf_cogroup_smoke(n_queries: int = 1_000_000,
+                      n_corpus: int = 200_000) -> None:
+    """VERDICT r5 item 9: the large-q IVF posture — 1M probe-side rows
+    must flow through the cogroup (no broadcast of the probe side).
+    Prints queries/s plus a plan check that the final plan contains
+    FlatMapCoGroupsInPandas and no BroadcastExchange feeding it."""
+    from pyspark.sql import functions as F
+
+    from esda_spark.operators.similarity import ivf_topk, kmeans_fit
+    from esda_spark.sources.embeddings import synthetic_embeddings
+
+    spark = _spark()
+    corpus = synthetic_embeddings(
+        spark, n_corpus, dim=64, clusters=512, noise=0.35
+    ).repartition(CPUS).cache()
+    corpus.count()
+    queries = synthetic_embeddings(
+        spark, n_queries, dim=64, clusters=512, noise=0.35, seed=99
+    ).select(F.col("vec_id").alias("query_id"), "embedding") \
+        .repartition(CPUS).cache()
+    nq = queries.count()
+    centers = kmeans_fit(corpus, k=256, max_iters=6, seed=7)
+    res = ivf_topk(corpus, queries, centers, k=10, nprobe=2,
+                   mode="cogroup")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    t0 = time.perf_counter()
+    res.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    n_rows = None  # noop sink computes every row without a recount
+    print(json.dumps({
+        "metric": "IVF cogroup large-q smoke (corpus x 1M queries, "
+                  "probe side never broadcast)",
+        "n_corpus": n_corpus, "n_queries": nq, "k": 10, "nprobe": 2,
+        "result_rows": n_rows, "sec": round(dt, 1),
+        "queries_per_sec": round(nq / dt, 1),
+        "plan_has_cogroup": "FlatMapCoGroupsInPandas" in plan,
+        "plan_broadcasts_probes": "BroadcastExchange" in plan,
+        "cpus": CPUS,
+    }), flush=True)
+    spark.stop()
+
+
 def capture_plans(suffix: str) -> None:
     """explain("formatted") for the touched queries -> plans/r06/."""
     from pyspark.sql import functions as F
@@ -271,6 +313,10 @@ def main() -> None:
         profile_pip()
     elif cmd == "profile-ann":
         profile_ann()
+    elif cmd == "ivf-cogroup-smoke":
+        ivf_cogroup_smoke(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        )
     else:
         raise SystemExit(f"unknown subcommand {cmd!r}")
 

@@ -187,10 +187,13 @@ def gather_neighborhoods(
     ``count()``) then pass via ``conditional_randomization(gathered=...)``.
 
     With ``tiles`` set the output carries the tiled path's ``tile``
-    column (``pmod(xxhash64(id, seed), tiles)`` — ``tiles`` and
-    ``seed`` MUST match the crand call's, or the tile cogroup fails
-    loudly with "observed contains ids absent from values") and is
-    pre-partitioned on it.  Materialize with ``persist()`` (+ a
+    column (``pmod(xxhash64(id, seed), tiles)``) and is
+    pre-partitioned on it.  ``tiles`` and ``seed`` MUST match the
+    crand call's: a mismatched gather lands wlists in the wrong tile
+    groups, which would silently treat most sites as islands — so the
+    gather stamps its (tiles, seed) on the returned DataFrame and
+    ``conditional_randomization`` validates the stamp and raises on a
+    mismatch (ADVICE r5).  Materialize with ``persist()`` (+ a
     ``count()``), NOT localCheckpoint: the cached repartition keeps
     its tile partitioning through the cogroup, so every tiled crand
     call reuses the gather with zero per-call exchange, while a
@@ -228,6 +231,9 @@ def gather_neighborhoods(
             )
             .repartition(nparts, "tile")
         )
+        # consistency stamp validated by _crand_tiled (a mismatched
+        # tiles/seed would silently island-ify ~(1 - 1/tiles) of sites)
+        out._esda_gather_meta = (int(tiles), int(seed))
     return out
 
 
@@ -516,6 +522,15 @@ def _crand_tiled(
     """
     spark = values.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if gathered is not None and "tile" in gathered.columns:
+        meta = getattr(gathered, "_esda_gather_meta", None)
+        if meta is not None and meta != (int(tiles), int(seed)):
+            raise ValueError(
+                f"gathered neighborhoods were tiled with tiles/seed="
+                f"{meta} but this crand call uses ({tiles}, {seed}) — "
+                "a mismatched gather silently islands most sites; "
+                "rebuild the gather with matching parameters"
+            )
 
     def tile_of(col):
         return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(tiles))
@@ -615,6 +630,13 @@ def _crand_tiled(
 
     def run_tile(key, base_pdf, pool_pdf):
         tile = int(key[0])
+        if len(base_pdf) and len(pool_pdf) == 0:
+            # loud, like the lids check below: silently dropping the
+            # tile's sites would be an empty-output correctness hole
+            raise ValueError(
+                f"tile {tile} has {len(base_pdf)} observed sites but an "
+                "empty value pool; values must cover every site's tile"
+            )
         if len(base_pdf) == 0 or len(pool_pdf) == 0:
             return pd.DataFrame(
                 {c.split(" ")[0]: [] for c in out_schema.split(", ")}
@@ -666,6 +688,11 @@ def _crand_tiled(
         kind = pool_pdf["_kind"].to_numpy()
         obs_pdf = pool_pdf[kind == 1]
         val_pdf = pool_pdf[kind == 0]
+        if len(obs_pdf) and len(val_pdf) == 0:
+            raise ValueError(
+                f"tile {tile} has {len(obs_pdf)} observed sites but an "
+                "empty value pool; values must cover every site's tile"
+            )
         if len(obs_pdf) == 0 or len(val_pdf) == 0:
             return empty
         pool_sorted = val_pdf.sort_values("pid")

@@ -324,6 +324,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     num_tables: int = 4,
     multiprobe: int = 1,
+    n_corpus: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing a (table,
     bucket) with the query in at least one of ``num_tables``
@@ -347,7 +348,11 @@ def lsh_topk(
     if multiprobe not in (0, 1):
         raise ValueError("multiprobe must be 0 or 1 (Hamming probe radius)")
     if num_planes is None:
-        num_planes = auto_num_planes(embeddings.count())
+        # auto-sizing needs the corpus count; callers that know it pass
+        # n_corpus and skip the count job (ADVICE r5)
+        num_planes = auto_num_planes(
+            n_corpus if n_corpus is not None else embeddings.count()
+        )
     query_sig = hyperplane_signatures(
         queries.select(F.col(query_id_col).alias("vec_id"),
                        F.col(vec_col)),
