@@ -270,7 +270,44 @@ def capture_plans(suffix: str) -> None:
     dim = len(emb.select("embedding").first()[0])
     sig = minhash_signatures(docs, num_hashes=16)
 
+    from esda_spark.operators.global_stats import _edge_pair_agg  # noqa
+    from esda_spark.operators.knn_incore import (
+        build_target_index, knn_batch,
+    )
+    from esda_spark.operators.local_stats import g_local, moran_local
+    from esda_spark.operators.weights import knn_edges
+
+    # the kNN fast path materializes eagerly; capture the kernel plan
+    # pre-checkpoint by rebuilding its pieces
+    import numpy as np
+
+    tpdf = big.select("id", "x", "y").toPandas()
+    idx0 = build_target_index(
+        tpdf["id"].to_numpy(np.int64), tpdf["x"].to_numpy(np.float64),
+        tpdf["y"].to_numpy(np.float64), 8)
+    bc0 = spark.sparkContext.broadcast(idx0)
+
+    def _kernel(batches):
+        for pdf in batches:
+            f, n, d2 = knn_batch(
+                pdf["id"].to_numpy(np.int64),
+                pdf["x"].to_numpy(np.float64),
+                pdf["y"].to_numpy(np.float64), bc0.value, 8, True, None)
+            import pandas as _pd
+            yield _pd.DataFrame({"focal": f, "neighbor": n,
+                                 "weight": np.ones(len(f))})
+
+    knn_kernel_df = big.select("id", "x", "y").mapInPandas(
+        _kernel, schema="focal long, neighbor long, weight double")
+
+    edges_c = knn_edges(pts, k=8)
     plans = {
+        "knn_build_orders": knn_kernel_df,
+        "moran_local_observed": moran_local(pts, edges_c, "y_cont",
+                                            permutations=0),
+        "g_local_star_observed": g_local(pts, edges_c, "y_cont",
+                                         star=True, transform="R",
+                                         permutations=0),
         "pip_join_orders": point_in_polygon(big, polys, 25.0),
         "minhash_sigs": sig,
         "lsh_pairs": lsh_candidate_pairs(sig, 16, 4),
