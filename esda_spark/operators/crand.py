@@ -268,6 +268,7 @@ def conditional_randomization(
     gathered: DataFrame | None = None,
     n_sites: int | None = None,
     base: DataFrame | None = None,
+    max_card: int | None = None,
 ) -> DataFrame:
     """Per-site pseudo p-values under conditional permutation.
 
@@ -352,13 +353,18 @@ def conditional_randomization(
     passthrough = None
     if base is not None:
         # prebuilt site frame: the caller's focal-keyed aggregate
-        # already holds (observed, wlist, self_weight) — derive the
-        # cardinality bound from it and run the kernel directly, with
-        # every non-wlist column passed through (no output join)
+        # already holds (observed, wlist, self_weight) — the kernel
+        # runs directly on it (LAZY: the base assembly streams into
+        # the kernel inside ONE job, the shape the round-5 scaling
+        # evidence was built on) with every non-wlist column passed
+        # through (no output join).  ``max_card`` comes from the
+        # caller (one cheap aggregate over the raw edges, overlapped
+        # with the caller's own value aggregate).
         passthrough = [f for f in base.schema.fields if f.name != "wlist"]
-        max_card = base.agg(
-            F.max(F.size("wlist"))
-        ).collect()[0][0] or 1
+        if max_card is None:
+            max_card = base.agg(
+                F.max(F.size("wlist"))
+            ).collect()[0][0] or 1
     elif gathered is None:
         max_card = (
             edges.where(F.col("focal") != F.col("neighbor"))

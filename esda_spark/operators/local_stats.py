@@ -133,33 +133,32 @@ def _crand_on_base(
     moments: bool,
     n: int,
     out_cols: list[str],
+    max_card: int | None = None,
 ) -> DataFrame:
     """Run conditional randomization on a fused site frame.
 
-    Broadcast regime: the checkpointed base (with its wlist) feeds the
-    kernel directly and every output column rides along — no second
-    edge aggregation, no output join.  ``base`` must already be
-    partitioned for the kernel (the fused frame's pinned
-    REPARTITION_BY_NUM — AQE would otherwise coalesce the tiny shuffle
-    to one task and run the whole permutation kernel serially).
-    Tiled regime (beyond the broadcast gate): classic path — crand
-    assembles its own one-exchange tile base; the p columns join back
-    by id."""
+    Broadcast regime: the LAZY base (with its wlist) streams straight
+    into the kernel — exchange, aggregate and permutation kernel run
+    as ONE job (the round-5 scaling shape; an eager checkpoint barrier
+    here measured 11 s at 1M sites and broke 8->32 scaling) — and
+    every output column rides along, no output join.  The fused
+    frame's pinned REPARTITION_BY_NUM keeps AQE from coalescing the
+    kernel's parallelism away.  ``max_card`` is the caller-supplied
+    cardinality bound (one aggregate over the raw edges).  Tiled
+    regime (beyond the broadcast gate): classic path — crand assembles
+    its own one-exchange tile base; the p columns join back by id."""
     from esda_spark.operators.crand import _AUTO_TILED_ROWS
 
     if n < _AUTO_TILED_ROWS:
-        bk = (
-            base.select(
-                *out_cols, F.col(obs_col).alias("observed"),
-                "wlist", "self_weight",
-            )
-            .localCheckpoint(eager=True)
+        bk = base.select(
+            *out_cols, F.col(obs_col).alias("observed"),
+            "wlist", "self_weight",
         )
         res = conditional_randomization(
             values, w, None, stat_func, permutations=permutations,
             seed=seed, scaling=scaling, alternative=alternative,
             keep=keep, moments=moments, n_sites=n, mode="broadcast",
-            base=bk,
+            base=bk, max_card=max_card,
         )
         return res.drop("observed", "self_weight")
     p = conditional_randomization(
@@ -168,6 +167,26 @@ def _crand_on_base(
         alternative=alternative, keep=keep, moments=moments, n_sites=n,
     )
     return base.select(*out_cols).join(p, "id", "left")
+
+
+def _max_card_future(edges: DataFrame):
+    """Start the neighbor-cardinality bound aggregate on a worker
+    thread so it overlaps the caller's value aggregate (guide §2.6).
+    Cardinality is transform-independent, so the RAW edges suffice."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+
+    def _mc() -> int:
+        return int(
+            edges.where(F.col("focal") != F.col("neighbor"))
+            .groupBy("focal").count()
+            .agg(F.max("count")).collect()[0][0] or 1
+        )
+
+    fut = pool.submit(_mc)
+    pool.shutdown(wait=False)
+    return fut
 
 
 def _norm_sf_col(df: DataFrame, z_col: str, out: str) -> DataFrame:
@@ -204,6 +223,7 @@ def moran_local(
     moments per Sokal 1998 A3/A4/A7/A8 (``moran.py:1424-1468``).
     """
     y = F.col(value_col)
+    mc_fut = _max_card_future(edges) if permutations else None
     agg = points.agg(
         F.count("*").alias("n"), F.avg(value_col).alias("mu"),
         F.stddev_pop(value_col).alias("sd"),
@@ -272,6 +292,7 @@ def moran_local(
             moments=moments, n=n,
             out_cols=["id", "z", "lag", "Is", "q", "EIc", "VIc",
                       "EI", "VI"],
+            max_card=mc_fut.result(),
         )
     return base.drop("wi", "wi2", "wlist", "self_weight")
 
@@ -417,6 +438,7 @@ def g_local(
     """
     if star:
         edges = add_self_edges(edges, points, 1.0)
+    mc_fut = _max_card_future(edges) if permutations else None
     w = transform_weights(edges, transform)
     yv = points.select("id", F.col(value_col).alias("y"))
     agg = yv.agg(
@@ -451,6 +473,7 @@ def g_local(
             alternative=alternative, keep=False, moments=moments, n=n,
             out_cols=["id", "y", "lag", "Gs", "EGs", "VGs", "Zs",
                       "p_norm"],
+            max_card=mc_fut.result(),
         )
     return base.drop("wi", "wi2", "wlist", "self_weight")
 
