@@ -367,24 +367,31 @@ def lsh_topk(
         query_sig = query_sig.select(
             "query_id", "table", F.explode(probes).alias("bucket")
         )
+    # norms are evaluated ONCE per source vector and ride the join —
+    # the former per-candidate _norm folds re-ran the 64-element
+    # aggregate ~bucket-occupancy times per vector (round 6; sim is
+    # bit-identical: same fold, same operands, same qn*cn order)
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     ).join(query_sig, "query_id")
     corpus_sig = hyperplane_signatures(
         embeddings, dim, num_planes, seed, id_col, vec_col, num_tables
     )
     c = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
     ).join(corpus_sig, "vec_id")
     scored = (
         F.broadcast(q).join(c, ["table", "bucket"])
         .where(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id", "qv", "cv")
+        .select("query_id", "vec_id", "qv", "cv", "qn", "cn")
         .dropDuplicates(["query_id", "vec_id"])  # union across tables
         .select(
             "query_id", "vec_id",
             (_dot(F.col("qv"), F.col("cv"))
-             / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+             / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -448,12 +455,14 @@ def embedding_near_dup_pairs(
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
     if mode == "exact":
         a = e.select(F.col("vec_id").alias("vec_a"),
-                     F.col(vec_col).alias("va"))
+                     F.col(vec_col).alias("va"),
+                     _norm(F.col(vec_col)).alias("na"))
         b = e.select(F.col("vec_id").alias("vec_b"),
-                     F.col(vec_col).alias("vb"))
+                     F.col(vec_col).alias("vb"),
+                     _norm(F.col(vec_col)).alias("nb"))
         cand = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
         sim_expr = (_dot(F.col("va"), F.col("vb"))
-                    / (_norm(F.col("va")) * _norm(F.col("vb"))))
+                    / (F.col("na") * F.col("nb")))
         return (
             cand.withColumn("sim", sim_expr)
             .where(F.col("sim") >= threshold)
@@ -671,13 +680,17 @@ def ivf_topk(
                 if q_count * nprobe <= broadcast_max_probe_rows
                 else "cogroup")
     if mode == "broadcast":
+        # per-source-row norms (same Catalyst fold, evaluated once per
+        # corpus/probe row instead of once per candidate; sim values
+        # bit-identical)
         scored = (
-            F.broadcast(qprobes).join(corpus, "list_id")
+            F.broadcast(qprobes.withColumn("qn", _norm(F.col("qv"))))
+            .join(corpus.withColumn("cn", _norm(F.col("cv"))), "list_id")
             .where(F.col("query_id") != F.col("vec_id"))
             .select(
                 "query_id", "vec_id",
                 (_dot(F.col("qv"), F.col("cv"))
-                 / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+                 / (F.col("qn") * F.col("cn"))).alias("sim"),
             )
             .dropDuplicates(["query_id", "vec_id"])
         )
