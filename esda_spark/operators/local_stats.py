@@ -464,17 +464,21 @@ def g_local(
         )
         .withColumn("Zs", (F.col("Gs") - F.col("EGs")) / F.sqrt("VGs"))
     )
-    base = _norm_sf_col(base, "Zs", "p_norm")
     if permutations:
-        return _crand_on_base(
+        res = _crand_on_base(
             base, yv.select("id", F.col("y").alias("z")), w, "Gs",
             "g_local_star" if star else "g_local",
             permutations=permutations, seed=seed, scaling=y_sum,
             alternative=alternative, keep=False, moments=moments, n=n,
-            out_cols=["id", "y", "lag", "Gs", "EGs", "VGs", "Zs",
-                      "p_norm"],
+            out_cols=["id", "y", "lag", "Gs", "EGs", "VGs", "Zs"],
             max_card=mc_fut.result(),
         )
+        # p_norm from the passed-through Zs AFTER the kernel — the
+        # former pre-kernel pandas_udf inserted a second Python eval
+        # pass over the whole base inside the kernel job (same values:
+        # identical norm_sf on identical Zs)
+        return _norm_sf_col(res, "Zs", "p_norm")
+    base = _norm_sf_col(base, "Zs", "p_norm")
     return base.drop("wi", "wi2", "wlist", "self_weight")
 
 
