@@ -116,7 +116,12 @@ def test_knn_flat_gate_parity_on_skewed_points(spark, monkeypatch):
     # skewed-but-small input: one hot cluster (hot cell > threshold)
     # plus a sparse field; the flat gate must pick a single level AND
     # produce the exact edge set the quadtree path produces
+    from esda_spark.operators import knn_incore as KI
     from esda_spark.operators import weights as W
+
+    # this test targets the DISTRIBUTED builder's flat-gate logic:
+    # disable the round-6 in-core fast path so it actually runs
+    monkeypatch.setattr(KI, "INCORE_MAX_TARGETS", 0)
 
     rng = np.random.default_rng(11)
     hot = rng.normal(loc=(5.0, 5.0), scale=0.05, size=(400, 2))
