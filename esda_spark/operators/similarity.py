@@ -13,6 +13,7 @@
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -129,6 +130,41 @@ def cosine_topk(
     Q = np.array([np.asarray(r.qv, dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     spark = embeddings.sparkSession
+    if _ANN_INCORE_ROWS:
+        # in-core fast path (round 6): the query side is collected
+        # either way; when the corpus also fits the gate, score the
+        # single (q, n) BLAS matrix on the driver — same normalize,
+        # same dgemm library, same (sim desc, vec_id asc) ranking —
+        # instead of a Python-worker stage plus a window merge.
+        emb_pdf = embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        ).limit(_ANN_INCORE_ROWS + 1).toPandas()
+        if (len(emb_pdf) <= _ANN_INCORE_ROWS and len(qids)
+                and len(qids) * len(emb_pdf) <= 50_000_000):
+            cid = emb_pdf["vec_id"].to_numpy(np.int64)
+            C = np.vstack(emb_pdf["cv"].to_numpy()).astype(np.float64)
+            C /= np.linalg.norm(C, axis=1, keepdims=True)
+            sims = Qn @ C.T
+            qrow = np.repeat(np.arange(len(qids)), len(cid))
+            crow = np.tile(np.arange(len(cid)), len(qids))
+            keep = qids[qrow] != cid[crow]
+            qrow, crow = qrow[keep], crow[keep]
+            sim = sims[qrow, crow]
+            order = np.lexsort((cid[crow], -sim, qids[qrow]))
+            qs = qids[qrow][order]
+            starts = np.nonzero(np.r_[True, qs[1:] != qs[:-1]])[0]
+            seg_len = np.diff(np.r_[starts, len(qs)])
+            rank = np.arange(len(qs)) - np.repeat(starts, seg_len) + 1
+            sel = order[rank <= k]
+            out = pd.DataFrame({
+                "query_id": qids[qrow][sel], "vec_id": cid[crow][sel],
+                "rank": rank[rank <= k].astype(np.int32),
+                "sim": sim[sel],
+            })
+            return spark.createDataFrame(
+                out,
+                schema="query_id long, vec_id long, rank int, sim double",
+            )
     bc = spark.sparkContext.broadcast((qids, Qn))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -312,6 +348,84 @@ def auto_num_planes(n_corpus: int, target_occupancy: int = 25) -> int:
     return int(min(max(raw, 4), 30))
 
 
+def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot via a strict left-to-right accumulation
+    (cumsum) — bitwise identical to the Catalyst
+    ``aggregate(zip_with(a, b, *), 0.0, acc + v)`` fold that the
+    distributed scorer evaluates, unlike pairwise-summing np.sum."""
+    return np.cumsum(A * B, axis=1)[:, -1]
+
+
+def _lsh_topk_incore(emb_pdf, q_pdf, dim, k, num_planes, seed,
+                     num_tables, multiprobe) -> "pd.DataFrame":
+    """Driver-side LSH top-k over collected sides — identical draws,
+    buckets, probes, candidate set, sims (sequential-fold arithmetic)
+    and (sim desc, vec_id asc) ranking as the distributed plan."""
+    cid = emb_pdf["vec_id"].to_numpy(np.int64)
+    C = np.vstack(emb_pdf["cv"].to_numpy()).astype(np.float64)
+    qid = q_pdf["query_id"].to_numpy(np.int64)
+    Q = np.vstack(q_pdf["qv"].to_numpy()).astype(np.float64)
+    H = np.random.default_rng(seed).normal(
+        size=(num_tables, num_planes, dim)
+    )
+    pows = (1 << np.arange(num_planes)).astype(np.int64)
+    pairs = []
+    for t in range(num_tables):
+        cb = ((C @ H[t].T) > 0) @ pows
+        qb = ((Q @ H[t].T) > 0) @ pows
+        probes = [qb]
+        if multiprobe:
+            probes += [qb ^ (1 << j) for j in range(num_planes)]
+        order = np.argsort(cb, kind="stable")
+        sb = cb[order]
+        for pb in probes:
+            lo = np.searchsorted(sb, pb)
+            hi = np.searchsorted(sb, pb, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            qrow = np.repeat(np.arange(len(qid)), cnt)
+            within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt,
+                                               cnt)
+            crow = order[lo[qrow] + within]
+            pairs.append(np.stack([qrow, crow], axis=1))
+    if not pairs:
+        return pd.DataFrame(
+            {"query_id": [], "vec_id": [], "rank": [], "sim": []}
+        )
+    P = np.unique(np.concatenate(pairs), axis=0)
+    keep = qid[P[:, 0]] != cid[P[:, 1]]
+    P = P[keep]
+    if len(P) == 0:
+        return pd.DataFrame(
+            {"query_id": [], "vec_id": [], "rank": [], "sim": []}
+        )
+    qn = np.sqrt(_seq_dot(Q, Q))
+    cn = np.sqrt(_seq_dot(C, C))
+    sim = _seq_dot(Q[P[:, 0]], C[P[:, 1]]) / (qn[P[:, 0]] * cn[P[:, 1]])
+    qv_ids = qid[P[:, 0]]
+    cv_ids = cid[P[:, 1]]
+    order = np.lexsort((cv_ids, -sim, qv_ids))
+    qs = qv_ids[order]
+    starts = np.nonzero(np.r_[True, qs[1:] != qs[:-1]])[0]
+    seg_len = np.diff(np.r_[starts, len(qs)])
+    rank = np.arange(len(qs)) - np.repeat(starts, seg_len) + 1
+    sel = order[rank <= k]
+    return pd.DataFrame({
+        "query_id": qv_ids[sel], "vec_id": cv_ids[sel],
+        "rank": rank[rank <= k].astype(np.int32),
+        "sim": sim[sel],
+    })
+
+
+# corpus-row gate for the driver-side LSH top-k (both sides collected;
+# ~100 MB of float64 at the default).  0 disables.
+_ANN_INCORE_ROWS = int(
+    float(os.environ.get("ESDA_SPARK_ANN_INCORE_ROWS", 200_000))
+)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -347,6 +461,34 @@ def lsh_topk(
     """
     if multiprobe not in (0, 1):
         raise ValueError("multiprobe must be 0 or 1 (Hamming probe radius)")
+    if _ANN_INCORE_ROWS:
+        # in-core fast path (round 6): both sides collected (the
+        # limit-probe is the gate), identical draws/buckets/probes/
+        # candidate set, sims via the sequential fold, same ranking —
+        # one collect + one createDataFrame instead of ~6 jobs of
+        # Python-stage and broadcast latency.
+        emb_pdf = embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        ).limit(_ANN_INCORE_ROWS + 1).toPandas()
+        if len(emb_pdf) <= _ANN_INCORE_ROWS:
+            q_pdf = queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+            ).limit(_ANN_INCORE_ROWS + 1).toPandas()
+            if len(q_pdf) <= _ANN_INCORE_ROWS:
+                np_planes = (num_planes if num_planes is not None
+                             else auto_num_planes(
+                                 n_corpus if n_corpus is not None
+                                 else len(emb_pdf)))
+                out = _lsh_topk_incore(
+                    emb_pdf, q_pdf, dim, k, np_planes, seed,
+                    num_tables, multiprobe,
+                )
+                return embeddings.sparkSession.createDataFrame(
+                    out,
+                    schema="query_id long, vec_id long, rank int,"
+                           " sim double",
+                )
     if num_planes is None:
         # auto-sizing needs the corpus count; callers that know it pass
         # n_corpus and skip the count job (ADVICE r5)
@@ -367,27 +509,34 @@ def lsh_topk(
         query_sig = query_sig.select(
             "query_id", "table", F.explode(probes).alias("bucket")
         )
-    # norms are evaluated ONCE per source vector and ride the join —
-    # the former per-candidate _norm folds re-ran the 64-element
-    # aggregate ~bucket-occupancy times per vector (round 6; sim is
-    # bit-identical: same fold, same operands, same qn*cn order)
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _norm(F.col(vec_col)).alias("qn"),
-    ).join(query_sig, "query_id")
     corpus_sig = hyperplane_signatures(
         embeddings, dim, num_planes, seed, id_col, vec_col, num_tables
     )
-    c = embeddings.select(
+    # candidate generation and the cross-table dedup run on ID PAIRS
+    # only; the embedding arrays attach AFTERWARDS, so the dedup and
+    # ranking exchanges carry 16-byte rows instead of ~1 KB rows with
+    # both vectors (guide §2.3: shuffle keys, not payloads).  Norms
+    # are evaluated once per source vector; sim is bit-identical to
+    # the former per-candidate folds (same fold, same operands, same
+    # qn*cn order).
+    cand = (
+        F.broadcast(query_sig).join(corpus_sig, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])  # union across tables
+    )
+    qmap = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    cmap = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
-    ).join(corpus_sig, "vec_id")
+    )
     scored = (
-        F.broadcast(q).join(c, ["table", "bucket"])
-        .where(F.col("query_id") != F.col("vec_id"))
-        .select("query_id", "vec_id", "qv", "cv", "qn", "cn")
-        .dropDuplicates(["query_id", "vec_id"])  # union across tables
+        cand.join(F.broadcast(qmap), "query_id")
+        .join(cmap, "vec_id")
         .select(
             "query_id", "vec_id",
             (_dot(F.col("qv"), F.col("cv"))
@@ -591,6 +740,52 @@ def kmeans_fit(
     return C
 
 
+def _ivf_topk_incore(emb_pdf, q_pdf, Cn, k, nprobe) -> "pd.DataFrame":
+    """Driver-side IVF top-k — identical assignment/probe/sim/rank
+    arithmetic as the distributed plan (see ivf_topk)."""
+    cid = emb_pdf["vec_id"].to_numpy(np.int64)
+    C = np.vstack(emb_pdf["cv"].to_numpy()).astype(np.float64)
+    Xn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    lists = np.argmax(Xn @ Cn.T, axis=1)
+    qid = q_pdf["query_id"].to_numpy(np.int64)
+    Q = np.vstack(q_pdf["qv"].to_numpy()).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    probes = np.argsort(-(Qn @ Cn.T), axis=1)[:, :nprobe]
+    order = np.argsort(lists, kind="stable")
+    sl = lists[order]
+    lo = np.searchsorted(sl, probes.ravel())
+    hi = np.searchsorted(sl, probes.ravel(), side="right")
+    cnt = hi - lo
+    tot = int(cnt.sum())
+    if tot == 0:
+        return pd.DataFrame(
+            {"query_id": [], "vec_id": [], "rank": [], "sim": []}
+        )
+    qrow = np.repeat(np.repeat(np.arange(len(qid)), probes.shape[1]), cnt)
+    within = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    crow = order[lo[np.repeat(np.arange(len(cnt)), cnt)] + within]
+    keep = qid[qrow] != cid[crow]
+    qrow, crow = qrow[keep], crow[keep]
+    if len(qrow) == 0:
+        return pd.DataFrame(
+            {"query_id": [], "vec_id": [], "rank": [], "sim": []}
+        )
+    qn = np.sqrt(_seq_dot(Q, Q))
+    cn = np.sqrt(_seq_dot(C, C))
+    sim = _seq_dot(Q[qrow], C[crow]) / (qn[qrow] * cn[crow])
+    so = np.lexsort((cid[crow], -sim, qid[qrow]))
+    qs = qid[qrow][so]
+    starts = np.nonzero(np.r_[True, qs[1:] != qs[:-1]])[0]
+    seg_len = np.diff(np.r_[starts, len(qs)])
+    rank = np.arange(len(qs)) - np.repeat(starts, seg_len) + 1
+    sel = so[rank <= k]
+    return pd.DataFrame({
+        "query_id": qid[qrow][sel], "vec_id": cid[crow][sel],
+        "rank": rank[rank <= k].astype(np.int32),
+        "sim": sim[sel],
+    })
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -631,6 +826,27 @@ def ivf_topk(
     Cn = centers / np.maximum(
         np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
     )
+    if _ANN_INCORE_ROWS and mode in ("auto", "broadcast"):
+        # in-core fast path (round 6): same centroid assignment
+        # (argmax of the identical normalized matmul), same probe
+        # selection, sims via the sequential fold, same ranking — one
+        # collect per side instead of two Python stages, the
+        # auto-mode count job, a join and a window.
+        emb_pdf = embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        ).limit(_ANN_INCORE_ROWS + 1).toPandas()
+        if len(emb_pdf) <= _ANN_INCORE_ROWS:
+            q_pdf = queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+            ).limit(_ANN_INCORE_ROWS + 1).toPandas()
+            if 0 < len(q_pdf) <= _ANN_INCORE_ROWS and len(emb_pdf):
+                out = _ivf_topk_incore(emb_pdf, q_pdf, Cn, k, nprobe)
+                return spark.createDataFrame(
+                    out,
+                    schema="query_id long, vec_id long, rank int,"
+                           " sim double",
+                )
     bc = spark.sparkContext.broadcast(Cn)
 
     def assign_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -148,6 +148,69 @@ def test_near_dup_groups_incore_vs_distributed(spark, monkeypatch):
     assert {tuple(r) for r in fast} == {tuple(r) for r in dist}
 
 
+def _emb_fixture(spark, n=400, dim=16, seed=4):
+    rng = np.random.default_rng(seed)
+    V = rng.normal(size=(n, dim))
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def _q_of(emb, nq=10):
+    return emb.where(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+
+def test_lsh_topk_incore_vs_distributed(spark, monkeypatch):
+    import esda_spark.operators.similarity as S
+
+    emb = _emb_fixture(spark)
+    q = _q_of(emb)
+    fast = {(r.query_id, r.vec_id, r.rank, r.sim)
+            for r in S.lsh_topk(emb, q, dim=16, k=5, num_planes=5,
+                                num_tables=4).collect()}
+    monkeypatch.setattr(S, "_ANN_INCORE_ROWS", 0)
+    dist = {(r.query_id, r.vec_id, r.rank, r.sim)
+            for r in S.lsh_topk(emb, q, dim=16, k=5, num_planes=5,
+                                num_tables=4).collect()}
+    # bitwise parity incl. sims: the in-core scorer reproduces the
+    # Catalyst sequential fold exactly (cumsum)
+    assert fast == dist
+
+
+def test_cosine_topk_incore_vs_distributed(spark, monkeypatch):
+    import esda_spark.operators.similarity as S
+
+    emb = _emb_fixture(spark, seed=6)
+    q = _q_of(emb)
+    fast = {(r.query_id, r.vec_id, r.rank)
+            for r in S.cosine_topk(emb, q, k=5).collect()}
+    monkeypatch.setattr(S, "_ANN_INCORE_ROWS", 0)
+    dist = {(r.query_id, r.vec_id, r.rank)
+            for r in S.cosine_topk(emb, q, k=5).collect()}
+    # rank-level parity: both paths score with BLAS, whose LSBs are
+    # shape-dependent — the operator's contract (and the ann_topk
+    # oracle) is the id/rank projection
+    assert fast == dist
+
+
+def test_ivf_topk_incore_vs_distributed(spark, monkeypatch):
+    import esda_spark.operators.similarity as S
+
+    emb = _emb_fixture(spark, seed=8)
+    q = _q_of(emb)
+    centers = S.kmeans_fit(emb, k=8, max_iters=4, seed=3)
+    fast = {(r.query_id, r.vec_id, r.rank, r.sim)
+            for r in S.ivf_topk(emb, q, centers, k=5,
+                                nprobe=2).collect()}
+    monkeypatch.setattr(S, "_ANN_INCORE_ROWS", 0)
+    dist = {(r.query_id, r.vec_id, r.rank, r.sim)
+            for r in S.ivf_topk(emb, q, centers, k=5,
+                                nprobe=2).collect()}
+    assert fast == dist
+
+
 def test_gather_tiles_seed_mismatch_raises(spark):
     from esda_spark.operators.crand import (
         conditional_randomization,
