@@ -130,7 +130,9 @@ def cosine_topk(
     Q = np.array([np.asarray(r.qv, dtype=np.float64) for r in qrows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     spark = embeddings.sparkSession
-    if _ANN_INCORE_ROWS:
+    n_emb = (embeddings.count() if _ANN_INCORE_ROWS else None)
+    if (_ANN_INCORE_ROWS and n_emb <= _ANN_INCORE_ROWS and len(qids)
+            and len(qids) * n_emb <= 50_000_000):
         # in-core fast path (round 6): the query side is collected
         # either way; when the corpus also fits the gate, score the
         # single (q, n) BLAS matrix on the driver — same normalize,
@@ -138,33 +140,31 @@ def cosine_topk(
         # instead of a Python-worker stage plus a window merge.
         emb_pdf = embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
-        ).limit(_ANN_INCORE_ROWS + 1).toPandas()
-        if (len(emb_pdf) <= _ANN_INCORE_ROWS and len(qids)
-                and len(qids) * len(emb_pdf) <= 50_000_000):
-            cid = emb_pdf["vec_id"].to_numpy(np.int64)
-            C = np.vstack(emb_pdf["cv"].to_numpy()).astype(np.float64)
-            C /= np.linalg.norm(C, axis=1, keepdims=True)
-            sims = Qn @ C.T
-            qrow = np.repeat(np.arange(len(qids)), len(cid))
-            crow = np.tile(np.arange(len(cid)), len(qids))
-            keep = qids[qrow] != cid[crow]
-            qrow, crow = qrow[keep], crow[keep]
-            sim = sims[qrow, crow]
-            order = np.lexsort((cid[crow], -sim, qids[qrow]))
-            qs = qids[qrow][order]
-            starts = np.nonzero(np.r_[True, qs[1:] != qs[:-1]])[0]
-            seg_len = np.diff(np.r_[starts, len(qs)])
-            rank = np.arange(len(qs)) - np.repeat(starts, seg_len) + 1
-            sel = order[rank <= k]
-            out = pd.DataFrame({
-                "query_id": qids[qrow][sel], "vec_id": cid[crow][sel],
-                "rank": rank[rank <= k].astype(np.int32),
-                "sim": sim[sel],
-            })
-            return spark.createDataFrame(
-                out,
-                schema="query_id long, vec_id long, rank int, sim double",
-            )
+        ).toPandas()
+        cid = emb_pdf["vec_id"].to_numpy(np.int64)
+        C = np.vstack(emb_pdf["cv"].to_numpy()).astype(np.float64)
+        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        sims = Qn @ C.T
+        qrow = np.repeat(np.arange(len(qids)), len(cid))
+        crow = np.tile(np.arange(len(cid)), len(qids))
+        keep = qids[qrow] != cid[crow]
+        qrow, crow = qrow[keep], crow[keep]
+        sim = sims[qrow, crow]
+        order = np.lexsort((cid[crow], -sim, qids[qrow]))
+        qs = qids[qrow][order]
+        starts = np.nonzero(np.r_[True, qs[1:] != qs[:-1]])[0]
+        seg_len = np.diff(np.r_[starts, len(qs)])
+        rank = np.arange(len(qs)) - np.repeat(starts, seg_len) + 1
+        sel = order[rank <= k]
+        out = pd.DataFrame({
+            "query_id": qids[qrow][sel], "vec_id": cid[crow][sel],
+            "rank": rank[rank <= k].astype(np.int32),
+            "sim": sim[sel],
+        })
+        return spark.createDataFrame(
+            out,
+            schema="query_id long, vec_id long, rank int, sim double",
+        )
     bc = spark.sparkContext.broadcast((qids, Qn))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -461,34 +461,34 @@ def lsh_topk(
     """
     if multiprobe not in (0, 1):
         raise ValueError("multiprobe must be 0 or 1 (Hamming probe radius)")
-    if _ANN_INCORE_ROWS:
-        # in-core fast path (round 6): both sides collected (the
-        # limit-probe is the gate), identical draws/buckets/probes/
-        # candidate set, sims via the sequential fold, same ranking —
-        # one collect + one createDataFrame instead of ~6 jobs of
-        # Python-stage and broadcast latency.
+    if (_ANN_INCORE_ROWS
+            and embeddings.count() <= _ANN_INCORE_ROWS
+            and queries.count() <= _ANN_INCORE_ROWS):
+        # in-core fast path (round 6): both sides collected, identical
+        # draws/buckets/probes/candidate set, sims via the sequential
+        # fold, same ranking — two counts + two collects instead of
+        # ~6 jobs of Python-stage and broadcast latency.  (count +
+        # toPandas beats a limit-probe: CollectLimit executes in
+        # scale-up stages, several sequential partial jobs.)
         emb_pdf = embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
-        ).limit(_ANN_INCORE_ROWS + 1).toPandas()
-        if len(emb_pdf) <= _ANN_INCORE_ROWS:
-            q_pdf = queries.select(
-                F.col(query_id_col).alias("query_id"),
-                F.col(vec_col).alias("qv"),
-            ).limit(_ANN_INCORE_ROWS + 1).toPandas()
-            if len(q_pdf) <= _ANN_INCORE_ROWS:
-                np_planes = (num_planes if num_planes is not None
-                             else auto_num_planes(
-                                 n_corpus if n_corpus is not None
-                                 else len(emb_pdf)))
-                out = _lsh_topk_incore(
-                    emb_pdf, q_pdf, dim, k, np_planes, seed,
-                    num_tables, multiprobe,
-                )
-                return embeddings.sparkSession.createDataFrame(
-                    out,
-                    schema="query_id long, vec_id long, rank int,"
-                           " sim double",
-                )
+        ).toPandas()
+        q_pdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        ).toPandas()
+        np_planes = (num_planes if num_planes is not None
+                     else auto_num_planes(
+                         n_corpus if n_corpus is not None
+                         else len(emb_pdf)))
+        out = _lsh_topk_incore(
+            emb_pdf, q_pdf, dim, k, np_planes, seed,
+            num_tables, multiprobe,
+        )
+        return embeddings.sparkSession.createDataFrame(
+            out,
+            schema="query_id long, vec_id long, rank int, sim double",
+        )
     if num_planes is None:
         # auto-sizing needs the corpus count; callers that know it pass
         # n_corpus and skip the count job (ADVICE r5)
@@ -826,27 +826,28 @@ def ivf_topk(
     Cn = centers / np.maximum(
         np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
     )
-    if _ANN_INCORE_ROWS and mode in ("auto", "broadcast"):
+    if (_ANN_INCORE_ROWS and mode in ("auto", "broadcast")
+            and embeddings.count() <= _ANN_INCORE_ROWS
+            and 0 < queries.count() <= _ANN_INCORE_ROWS):
         # in-core fast path (round 6): same centroid assignment
         # (argmax of the identical normalized matmul), same probe
-        # selection, sims via the sequential fold, same ranking — one
-        # collect per side instead of two Python stages, the
+        # selection, sims via the sequential fold, same ranking — two
+        # counts + two collects instead of two Python stages, the
         # auto-mode count job, a join and a window.
         emb_pdf = embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
-        ).limit(_ANN_INCORE_ROWS + 1).toPandas()
-        if len(emb_pdf) <= _ANN_INCORE_ROWS:
-            q_pdf = queries.select(
-                F.col(query_id_col).alias("query_id"),
-                F.col(vec_col).alias("qv"),
-            ).limit(_ANN_INCORE_ROWS + 1).toPandas()
-            if 0 < len(q_pdf) <= _ANN_INCORE_ROWS and len(emb_pdf):
-                out = _ivf_topk_incore(emb_pdf, q_pdf, Cn, k, nprobe)
-                return spark.createDataFrame(
-                    out,
-                    schema="query_id long, vec_id long, rank int,"
-                           " sim double",
-                )
+        ).toPandas()
+        q_pdf = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        ).toPandas()
+        if len(emb_pdf):
+            out = _ivf_topk_incore(emb_pdf, q_pdf, Cn, k, nprobe)
+            return spark.createDataFrame(
+                out,
+                schema="query_id long, vec_id long, rank int,"
+                       " sim double",
+            )
     bc = spark.sparkContext.broadcast(Cn)
 
     def assign_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
