@@ -348,12 +348,26 @@ def auto_num_planes(n_corpus: int, target_occupancy: int = 25) -> int:
     return int(min(max(raw, 4), 30))
 
 
-def _seq_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-    """Row-wise dot via a strict left-to-right accumulation
-    (cumsum) — bitwise identical to the Catalyst
+def _seq_dot(A: np.ndarray, B: np.ndarray,
+             ai: np.ndarray | None = None,
+             bi: np.ndarray | None = None) -> np.ndarray:
+    """Row-wise dot via a strict left-to-right column accumulation —
+    bitwise identical to the Catalyst
     ``aggregate(zip_with(a, b, *), 0.0, acc + v)`` fold that the
-    distributed scorer evaluates, unlike pairwise-summing np.sum."""
-    return np.cumsum(A * B, axis=1)[:, -1]
+    distributed scorer evaluates (0.0 + x0 == x0 exactly), unlike
+    pairwise-summing np.sum.  Optional ``ai``/``bi`` row gathers are
+    applied PER COLUMN so the working set stays (n,)-sized: a
+    (n, dim) gather + cumsum allocated ~100 MB of fresh pages per
+    call, which in the long-lived driver process measured 20-30x the
+    standalone cost (allocator/page-fault churn, CPU time == wall)."""
+    a0 = A[ai, 0] if ai is not None else A[:, 0]
+    b0 = B[bi, 0] if bi is not None else B[:, 0]
+    acc = a0 * b0
+    for j in range(1, A.shape[1]):
+        aj = A[ai, j] if ai is not None else A[:, j]
+        bj = B[bi, j] if bi is not None else B[:, j]
+        acc += aj * bj
+    return acc
 
 
 def _lsh_topk_incore(emb_pdf, q_pdf, dim, k, num_planes, seed,
@@ -403,7 +417,7 @@ def _lsh_topk_incore(emb_pdf, q_pdf, dim, k, num_planes, seed,
         )
     qn = np.sqrt(_seq_dot(Q, Q))
     cn = np.sqrt(_seq_dot(C, C))
-    sim = _seq_dot(Q[P[:, 0]], C[P[:, 1]]) / (qn[P[:, 0]] * cn[P[:, 1]])
+    sim = _seq_dot(Q, C, P[:, 0], P[:, 1]) / (qn[P[:, 0]] * cn[P[:, 1]])
     qv_ids = qid[P[:, 0]]
     cv_ids = cid[P[:, 1]]
     order = np.lexsort((cv_ids, -sim, qv_ids))
@@ -424,6 +438,19 @@ def _lsh_topk_incore(emb_pdf, q_pdf, dim, k, num_planes, seed,
 _ANN_INCORE_ROWS = int(
     float(os.environ.get("ESDA_SPARK_ANN_INCORE_ROWS", 200_000))
 )
+
+_PROF = bool(os.environ.get("ESDA_SPARK_PROF"))
+
+
+def _prof(label, t0):
+    import sys
+    import time as _t
+
+    t1 = _t.perf_counter()
+    if _PROF:
+        print(f"[prof] {label}: {t1 - t0:.3f}s", file=sys.stderr,
+              flush=True)
+    return t1
 
 
 def lsh_topk(
@@ -743,14 +770,19 @@ def kmeans_fit(
 def _ivf_topk_incore(emb_pdf, q_pdf, Cn, k, nprobe) -> "pd.DataFrame":
     """Driver-side IVF top-k — identical assignment/probe/sim/rank
     arithmetic as the distributed plan (see ivf_topk)."""
+    import time as _tt
+    _k0 = _tt.perf_counter()
     cid = emb_pdf["vec_id"].to_numpy(np.int64)
     C = np.vstack(emb_pdf["cv"].to_numpy()).astype(np.float64)
+    _k0 = _prof("ivf.k.vstackC", _k0)
     Xn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     lists = np.argmax(Xn @ Cn.T, axis=1)
+    _k0 = _prof("ivf.k.assign", _k0)
     qid = q_pdf["query_id"].to_numpy(np.int64)
     Q = np.vstack(q_pdf["qv"].to_numpy()).astype(np.float64)
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     probes = np.argsort(-(Qn @ Cn.T), axis=1)[:, :nprobe]
+    _k0 = _prof("ivf.k.probes", _k0)
     order = np.argsort(lists, kind="stable")
     sl = lists[order]
     lo = np.searchsorted(sl, probes.ravel())
@@ -770,9 +802,13 @@ def _ivf_topk_incore(emb_pdf, q_pdf, Cn, k, nprobe) -> "pd.DataFrame":
         return pd.DataFrame(
             {"query_id": [], "vec_id": [], "rank": [], "sim": []}
         )
+    _k0 = _prof("ivf.k.gather", _k0)
+    _cpu0 = _tt.process_time()
     qn = np.sqrt(_seq_dot(Q, Q))
     cn = np.sqrt(_seq_dot(C, C))
-    sim = _seq_dot(Q[qrow], C[crow]) / (qn[qrow] * cn[crow])
+    sim = _seq_dot(Q, C, qrow, crow) / (qn[qrow] * cn[crow])
+    _prof(f"ivf.k.sims cpu={_tt.process_time() - _cpu0:.3f}", _k0)
+    _k0 = _tt.perf_counter()
     so = np.lexsort((cid[crow], -sim, qid[qrow]))
     qs = qid[qrow][so]
     starts = np.nonzero(np.r_[True, qs[1:] != qs[:-1]])[0]
@@ -826,9 +862,12 @@ def ivf_topk(
     Cn = centers / np.maximum(
         np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
     )
+    import time as _t
+    _t0 = _t.perf_counter()
     if (_ANN_INCORE_ROWS and mode in ("auto", "broadcast")
             and embeddings.count() <= _ANN_INCORE_ROWS
             and 0 < queries.count() <= _ANN_INCORE_ROWS):
+        _t0 = _prof("ivf.counts", _t0)
         # in-core fast path (round 6): same centroid assignment
         # (argmax of the identical normalized matmul), same probe
         # selection, sims via the sequential fold, same ranking — two
@@ -837,17 +876,22 @@ def ivf_topk(
         emb_pdf = embeddings.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
         ).toPandas()
+        _t0 = _prof("ivf.collect_emb", _t0)
         q_pdf = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
         ).toPandas()
+        _t0 = _prof("ivf.collect_q", _t0)
         if len(emb_pdf):
             out = _ivf_topk_incore(emb_pdf, q_pdf, Cn, k, nprobe)
-            return spark.createDataFrame(
+            _t0 = _prof("ivf.kernel", _t0)
+            res = spark.createDataFrame(
                 out,
                 schema="query_id long, vec_id long, rank int,"
                        " sim double",
             )
+            _prof("ivf.createDataFrame", _t0)
+            return res
     bc = spark.sparkContext.broadcast(Cn)
 
     def assign_corpus(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
