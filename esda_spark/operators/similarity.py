@@ -1077,7 +1077,9 @@ def near_dup_groups(
             vid, V = vid[order], V[order]
             ai = np.searchsorted(vid, ua)
             bi = np.searchsorted(vid, va)
-            sims = (V[ai] * V[bi]).sum(axis=1)
+            # per-column accumulation: (n,)-sized temporaries (see
+            # _seq_dot — large per-call gathers churn the allocator)
+            sims = _seq_dot(V, V, ai, bi)
             keep = sims >= threshold
             if not keep.any():
                 return ids.select(
